@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Headline benchmark: A^2..A^7 SpGEMM chain on the 30^3 Moore torus.
+
+Prints ONE JSON line: output nnz/s at the A^7 step (u64 saturating semiring)
+vs the reference CPU baseline (CSR rayon-parallel ~289M nnz/s at A^7,
+BASELINE.md).  Run on the TPU backend by default; pass --quick for a small
+smoke-test chain.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="small chain for smoke tests")
+    parser.add_argument("--steps", type=int, default=7)
+    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    from sparsetpu.bench.chain import build_torus, chain_csv, run_chain
+
+    dims = (12, 12, 12) if args.quick else (30, 30, 30)
+    t0 = time.time()
+    a = build_torus(dims=dims)
+    print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
+          file=sys.stderr, flush=True)
+
+    results = run_chain(a, max_step=args.steps, iters=args.iters)
+    if args.csv:
+        with open(args.csv, "w") as f:
+            f.write(chain_csv(results))
+
+    last = results[-1]
+    baseline_nnz_per_s = 289e6  # reference CSR-par at A^7 (BASELINE.md)
+    print(json.dumps({
+        "metric": f"spgemm_chain_A{last.step}_nnz_per_s",
+        "value": round(last.nnz_per_s, 1),
+        "unit": "nnz/s",
+        "vs_baseline": round(last.nnz_per_s / baseline_nnz_per_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Sparse-vs-dense attention tipover sweep (reference methodology).
+
+Reproduces tipover_attention_bob (src/main.rs:54-195): per GPT config,
+time the dense kernel, then sweep density over 17 log steps 1e-4 -> 1
+(4 per decade), timing the sparse kernel and emitting the reference's CSV
+schema ``impl,density,q_nz,k_nz,v_nz,mem_k,mem_q,mem_v,attn_time,gen_time,
+attn_dry`` plus a dense header line ``ref_time=..`` — so the reference's
+plotting/crossover scripts apply unchanged.
+
+The sparse kernel here is the grouped ESC SpGEMM (attention/scores.py);
+``attn_dry`` times the symbolic pass alone (the reference's traversal-only
+timing, src/sparse.rs:109-111).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..attention import scores
+from ..csr import SparseCSR
+from ..ops.spgemm import spgemm, symbolic_flops
+
+# (batch_size, sequence_length, n_heads, embedding_dim) — src/main.rs:46-52
+GPT_CONFIGS: List[Tuple[int, int, int, int]] = [
+    (32, 512, 12, 384),   # shakespeare-char
+    (8, 1024, 12, 768),   # GPT-2 117M
+    (8, 1024, 16, 1024),  # GPT-2 345M
+    (8, 1024, 20, 1280),  # GPT-2 762M
+    (8, 1024, 25, 1600),  # GPT-2 1542M XL
+]
+
+
+def config_shape(cfg) -> Tuple[int, int, int, int]:
+    b, s, h, e = cfg
+    return (b, s, h, e // h)
+
+
+def _csr_mem_bytes(c: SparseCSR) -> int:
+    nnz = int(c.nnz)
+    return 4 * (c.n_rows + 1) + nnz * 4 * (1 + len(c.values))
+
+
+def _pow2(x: int) -> int:
+    return 1 << (max(int(x), 1) - 1).bit_length()
+
+
+def _time(fn, iters: int = 3) -> float:
+    fn()  # warmup/compile
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def dense_baseline(shape, iters: int = 3) -> float:
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    qd, kd = jax.device_put(q), jax.device_put(k)
+
+    def run():
+        jax.block_until_ready(scores.attention_scores_dense_jit(qd, kd))
+
+    return _time(run, iters)
+
+
+def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
+                 max_flops: int = 1 << 27, verbose: bool = True) -> str:
+    """One GPT config: dense baseline + density sweep. Returns CSV text."""
+    shape = config_shape(cfg)
+    n_weights = int(np.prod(shape))
+    dense_t = dense_baseline(shape)
+    out = [f"ref_time={dense_t*1e6:.0f} µs blas_time={dense_t*1e6:.0f} µs "
+           f"n_weights={n_weights} total_mem={3*n_weights*4}"]
+    header = "esc,density,q_nz,k_nz,v_nz,mem_k,mem_q,mem_v,attn_time,gen_time,attn_dry"
+    out.append(header)
+    if verbose:
+        print(out[0], flush=True)
+        print(header, flush=True)
+
+    for ii in range(n_density_steps):
+        density = 1e-4 * 10 ** (ii / 4.0)
+        t0 = time.perf_counter()
+        q = scores.random_sparse_tensor(shape, density, seed=2 * ii)
+        k = scores.random_sparse_tensor(shape, density, seed=2 * ii + 1)
+        q_csr = scores.tensor_to_grouped_csr(q)
+        kt_csr = scores.tensor_to_grouped_csr(k, transpose_last=True)
+        gen_time = time.perf_counter() - t0
+        q_nz, k_nz = int(q_csr.nnz), int(kt_csr.nnz)
+
+        flops = int(symbolic_flops(q_csr, kt_csr))
+        if flops > max_flops:
+            if verbose:
+                print(f"# density {density:.4f}: flops {flops} > budget, stop",
+                      flush=True)
+            break
+        cap = _pow2(flops)
+
+        dry = _time(
+            lambda: jax.block_until_ready(symbolic_flops(q_csr, kt_csr)), iters
+        )
+        c = spgemm(q_csr, kt_csr, cap)
+        attn = _time(
+            lambda: jax.block_until_ready(spgemm(q_csr, kt_csr, cap).nnz), iters
+        )
+        v_nz = int(c.nnz)
+        row = (
+            f"esc,{density:.4f},{q_nz},{k_nz},{v_nz},"
+            f"{_csr_mem_bytes(kt_csr)},{_csr_mem_bytes(q_csr)},{_csr_mem_bytes(c)},"
+            f"{attn*1e6:.0f},{gen_time*1e6:.0f},{dry*1e6:.0f}"
+        )
+        out.append(row)
+        if verbose:
+            print(row, flush=True)
+    return "\n".join(out) + "\n"
+
+
+def crossover_density(csv_text: str) -> Optional[float]:
+    """First density where sparse attn_time exceeds the dense ref_time
+    (plot_crossover.py methodology)."""
+    lines = csv_text.strip().split("\n")
+    ref_us = float(lines[0].split("ref_time=")[1].split(" ")[0])
+    last_below = None
+    for line in lines[2:]:
+        parts = line.split(",")
+        if len(parts) < 9 or parts[0] != "esc":
+            continue
+        density, attn_us = float(parts[1]), float(parts[8])
+        if attn_us <= ref_us:
+            last_below = density
+        else:
+            return last_below
+    return last_below

@@ -1,0 +1,116 @@
+"""SpGEMM and SpAdd over saturating semirings, fully vectorized for TPU.
+
+The reference computes C = A x B with Gustavson row-wise scatter/gather into
+dense scratch (src/graph_csr.rs:306-346) and a rayon two-pass variant
+(:350-484).  Scalar scatter loops do not map to TPU vector units, so this
+module uses the ESC (expand–sort–compress) formulation instead:
+
+  1. *symbolic*: flops(A,B) = sum over nnz (i,k) in A of row_nnz_B[k] — a
+     gather + reduction, also the exact expansion size and an nnz(C) bound.
+  2. *expand*: materialize all partial products (i, j, a_ik (x) b_kj) as flat
+     streams via vectorized binary search (no data-dependent control flow).
+  3. *compress*: sort by (i, j) and merge duplicates with a segmented
+     saturating scan (ops/segments.py), yielding CSR directly.
+
+Every step is jnp/lax ops under one jit; shapes are static via capacity
+parameters.  Pallas fast paths plug in underneath later without changing this
+interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..csr import SparseCSR
+from ..semiring import by_name
+from .segments import INT32_SENTINEL
+
+
+def symbolic_flops(a: SparseCSR, b: SparseCSR) -> jnp.ndarray:
+    """Number of partial products in A x B (upper bound on nnz(C)).
+
+    Mirrors the reference symbolic pass role (src/graph_csr.rs:363-403) but
+    as a single gather+sum; int64-safe via two-limb accumulation is not
+    needed below 2^31 products, which covers all baseline configs.
+    """
+    valid = jnp.arange(a.capacity) < a.nnz
+    col = jnp.clip(a.col_idx, 0, b.n_rows - 1)
+    counts = jnp.where(valid, b.row_nnz()[col], 0)
+    return jnp.sum(counts)
+
+
+def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
+    """Materialize partial-product streams (i, j, v, valid) of size expand_cap."""
+    assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    sr = a.sr
+    valid_a = jnp.arange(a.capacity) < a.nnz
+    a_rows = a.row_of_slot()
+    a_cols = jnp.clip(a.col_idx, 0, b.n_rows - 1)
+    counts = jnp.where(valid_a, b.row_nnz()[a_cols], 0).astype(jnp.int32)
+    cum = jnp.cumsum(counts)
+    total = cum[a.capacity - 1] if a.capacity > 0 else jnp.int32(0)
+
+    t = jnp.arange(expand_cap, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    valid_e = t < total
+    src = jnp.clip(src, 0, a.capacity - 1)
+    offset = cum[src] - counts[src]
+    rank = t - offset
+    b_start = b.row_ptr[a_cols[src]]
+    b_pos = jnp.clip(b_start + rank, 0, b.capacity - 1)
+
+    i = jnp.where(valid_e, a_rows[src], a.n_rows)
+    j = jnp.where(valid_e, b.col_idx[b_pos], INT32_SENTINEL)
+    v = sr.mul(sr.gather(a.values, src), sr.gather(b.values, b_pos))
+    v = sr.where(valid_e, v, sr.zeros((expand_cap,)))
+    return i, j, v, valid_e, total
+
+
+@partial(jax.jit, static_argnames=("expand_cap", "out_cap"))
+def spgemm(a: SparseCSR, b: SparseCSR, expand_cap: int, out_cap: Optional[int] = None) -> SparseCSR:
+    """C = A x B on the matrix semiring. ``expand_cap`` must be >= flops(A,B)
+    (see :func:`symbolic_flops`); ``out_cap`` defaults to ``expand_cap``."""
+    out_cap = out_cap or expand_cap
+    i, j, v, valid_e, total = expand_products(a, b, expand_cap)
+    c = SparseCSR.from_coo_device(
+        i, j, v, a.n_rows, b.n_cols, a.sr, out_cap, valid=valid_e
+    )
+    # expansion overflow (flops > expand_cap) silently drops products:
+    # poison nnz so the host guard (SparseCSR.check) trips
+    nnz = jnp.where(total <= expand_cap, c.nnz, -1).astype(jnp.int32)
+    return dataclasses.replace(c, nnz=nnz)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def spadd(a: SparseCSR, b: SparseCSR, out_cap: Optional[int] = None) -> SparseCSR:
+    """C = A (+) B elementwise with saturating add (reference CsrMatrix::add)."""
+    assert a.shape == b.shape
+    out_cap = out_cap or (a.capacity + b.capacity)
+    sr = a.sr
+    valid = jnp.concatenate(
+        [jnp.arange(a.capacity) < a.nnz, jnp.arange(b.capacity) < b.nnz]
+    )
+    rows = jnp.concatenate([a.row_of_slot(), b.row_of_slot()])
+    cols = jnp.concatenate([a.col_idx, b.col_idx])
+    vals = tuple(jnp.concatenate([x, y]) for x, y in zip(a.values, b.values))
+    return SparseCSR.from_coo_device(
+        rows, cols, vals, a.n_rows, a.n_cols, sr, out_cap, valid=valid
+    )
+
+
+def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True) -> SparseCSR:
+    """Host-driven SpGEMM: runs the symbolic pass, fetches the exact flop
+    count, rounds the capacity up to a power of two (bounding recompiles),
+    then runs the jitted numeric pass.  This is the two-pass symbolic+numeric
+    structure of the reference (src/graph_csr.rs:350-484) adapted to XLA's
+    static-shape model."""
+    flops = int(symbolic_flops(a, b))
+    cap = max(flops, 1)
+    if round_to_pow2:
+        cap = 1 << (cap - 1).bit_length()
+    return spgemm(a, b, expand_cap=cap).check()

