@@ -91,6 +91,62 @@ def run_chain(
     return results
 
 
+def run_chain_band(
+    a: SparseCSR,
+    half_width: int,
+    block: int = 125,
+    max_step: int = 7,
+    iters: int = 3,
+    verbose: bool = True,
+) -> List[ChainStep]:
+    """Band-kernel chain: C_k = C_{k-1} x A entirely as block-band MXU
+    matmuls (the categorized fast path; torus matrices are cyclic-banded so
+    there are no outliers).  Values are guarded < 2^24; the per-step limb
+    counts come from the running max value."""
+    from ..kernels import bandmm
+
+    band_a, outliers = bandmm.csr_band_split(
+        a, half_width=half_width, block=block, cyclic=True
+    )
+    assert int(outliers.nnz) == 0, "torus must be fully cyclic-banded"
+    a_limbs = bandmm.limbs_for_max(float(jax.device_get(band_a.max_value())))
+
+    results: List[ChainStep] = []
+    prev = band_a
+    for step in range(2, max_step + 1):
+        pmax = float(jax.device_get(prev.max_value()))
+        p_limbs = bandmm.limbs_for_max(pmax)
+        run = lambda: bandmm.band_matmul(prev, band_a, p_limbs=p_limbs,
+                                         a_limbs=a_limbs)
+        c = run()
+        jax.block_until_ready(c.data)
+        cmax = float(jax.device_get(c.max_value()))
+        if cmax >= float(1 << 24) - 8:
+            raise OverflowError("band chain exceeded f32 exact range")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = run()
+            jax.block_until_ready(out.data)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        nnz = int(jax.device_get(c.nnz()))
+        rec = ChainStep(
+            step=step, nnz=nnz, flops=0, seconds=dt,
+            nnz_per_s=nnz / dt, gflops=0.0,
+        )
+        results.append(rec)
+        if verbose:
+            print(
+                f"A^{step} [band,{p_limbs}x{a_limbs} limbs]: nnz={nnz} "
+                f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M "
+                f"max={cmax:.0f}",
+                flush=True,
+            )
+        prev = c
+    return results
+
+
 def chain_csv(results: List[ChainStep]) -> str:
     lines = ["step,nnz,flops,seconds,nnz_per_s,gflops"]
     for r in results:

@@ -1,0 +1,89 @@
+"""Reporting: CSV -> markdown tables and crossover extraction.
+
+The reference's L5 layer (csv2table.py, plot_crossover.py, plot_surface.py,
+bench_report.md): benchmarks print CSV; these helpers turn the CSVs into
+the committed markdown report.  Plotting is optional (matplotlib if
+available, silently skipped otherwise — the image has no display).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import List, Optional, Sequence
+
+
+def csv_to_markdown(csv_text: str, title: Optional[str] = None) -> str:
+    """CSV text (first row header) -> GitHub markdown table
+    (csv2table.py analog; ignores non-CSV noise lines like the reference's
+    auto-extraction from mixed test output, plot_surface.py:17-33)."""
+    lines = [l.strip() for l in csv_text.strip().split("\n") if l.strip()]
+    rows = [l.split(",") for l in lines if "," in l]
+    if not rows:
+        return ""
+    width = max(len(r) for r in rows)
+    rows = [r for r in rows if len(r) == width]
+    out = io.StringIO()
+    if title:
+        out.write(f"### {title}\n\n")
+    header, data = rows[0], rows[1:]
+    out.write("| " + " | ".join(header) + " |\n")
+    out.write("|" + "---|" * len(header) + "\n")
+    for r in data:
+        out.write("| " + " | ".join(r) + " |\n")
+    return out.getvalue()
+
+
+def chain_report(results, baseline_ms: Optional[dict] = None) -> str:
+    """Markdown table for chain results with reference-baseline comparison.
+
+    ``baseline_ms`` maps step -> reference milliseconds (BASELINE.md CSR-par
+    column by default)."""
+    baseline_ms = baseline_ms or {
+        2: 4.9, 3: 5.8, 4: 9.0, 5: 17.1, 6: 24.4, 7: 40.5  # CSR par, README.md:39-46
+    }
+    lines = [
+        "| step | nnz | time (ms) | nnz/s | vs CSR-par (CPU) |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        base = baseline_ms.get(r.step)
+        speedup = f"{base / (r.seconds * 1e3):.2f}x" if base else "-"
+        lines.append(
+            f"| A^{r.step} | {r.nnz:,} | {r.seconds*1e3:.2f} | "
+            f"{r.nnz_per_s/1e6:.1f}M | {speedup} |"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def try_plot_crossover(csv_texts: Sequence[str], out_png: str) -> bool:
+    """Density-vs-time crossover plot (plot_crossover.py analog).
+    Returns False when matplotlib is unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for idx, text in enumerate(csv_texts):
+        lines = text.strip().split("\n")
+        ref_us = float(lines[0].split("ref_time=")[1].split(" ")[0])
+        dens, times = [], []
+        for line in lines[2:]:
+            parts = line.split(",")
+            if len(parts) >= 9 and parts[0] == "esc":
+                dens.append(float(parts[1]))
+                times.append(float(parts[8]))
+        ax.plot(dens, times, marker="o", label=f"sparse cfg{idx}")
+        ax.axhline(ref_us, linestyle="--", alpha=0.5)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("density")
+    ax.set_ylabel("attention time (µs)")
+    ax.legend()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
