@@ -19,9 +19,10 @@ def main():
     parser.add_argument("--steps", type=int, default=7)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
-    parser.add_argument("--algo", choices=["band", "esc"], default="band",
-                        help="band = block-band MXU kernel (torus fast path); "
-                             "esc = sort-based general kernel")
+    parser.add_argument("--algo", choices=["dense", "band", "esc"], default="dense",
+                        help="dense = dense-accumulator SpMM chain (fastest for "
+                             "the densifying torus chain); band = block-band MXU "
+                             "kernel; esc = sort-based general kernel")
     args = parser.parse_args()
 
     import jax
@@ -30,7 +31,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
 
-    from sparsetpu.bench.chain import build_torus, chain_csv, run_chain, run_chain_band
+    from sparsetpu.bench.chain import (
+        build_torus, chain_csv, run_chain, run_chain_band, run_chain_dense,
+    )
 
     dims = (12, 12, 12) if args.quick else (30, 30, 30)
     t0 = time.time()
@@ -38,11 +41,14 @@ def main():
     print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 
-    if args.algo == "band":
-        # Moore-torus bandwidth: strides (d1*d2, d2, 1) -> max offset sum
-        d0, d1, d2 = dims
-        half_width = d1 * d2 + d2 + 1
+    if args.algo == "dense":
+        results = run_chain_dense(a, max_step=args.steps, iters=args.iters)
+    elif args.algo == "band":
+        from sparsetpu.kernels.bandmm import cyclic_bandwidth
+
+        half_width = cyclic_bandwidth(a)
         block = {1728: 108, 27000: 125}.get(a.n_rows, 125)
+        print(f"cyclic bandwidth: {half_width}", file=sys.stderr, flush=True)
         results = run_chain_band(a, half_width=half_width, block=block,
                                  max_step=args.steps, iters=args.iters)
     else:

@@ -13,6 +13,7 @@ from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..csr import SparseCSR
@@ -145,6 +146,58 @@ def run_chain_band(
             )
         prev = c
     return results
+
+
+def run_chain_dense(
+    a: SparseCSR,
+    max_step: int = 7,
+    iters: int = 3,
+    n_chunks: int = 8,
+    verbose: bool = True,
+) -> List[ChainStep]:
+    """Dense-accumulator chain: the product lives as a dense f32 matrix
+    and each step is the gather/segment-sum SpMM (ops/spmm.py) — the right
+    category once the product band densifies.  One compile for the whole
+    chain (step shape is constant)."""
+    from ..ops.spmm import spmm_dense, prepare_spmm_operand
+
+    cols, vals, lrow, rpc = prepare_spmm_operand(a, n_chunks=n_chunks)
+    p = tuple_to_f32_dense(a)
+    results: List[ChainStep] = []
+    for step in range(2, max_step + 1):
+        c = spmm_dense(cols, vals, lrow, p, rows_per_chunk=rpc)
+        jax.block_until_ready(c)
+        cmax = float(jax.device_get(jnp.max(c)))
+        if cmax >= float(1 << 24) - 8:
+            raise OverflowError("dense chain exceeded f32 exact range")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = spmm_dense(cols, vals, lrow, p, rows_per_chunk=rpc)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        nnz = int(jax.device_get(jnp.count_nonzero(c)))
+        rec = ChainStep(step=step, nnz=nnz, flops=0, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=0.0)
+        results.append(rec)
+        if verbose:
+            print(
+                f"A^{step} [dense-acc]: nnz={nnz} time={dt*1e3:.2f}ms "
+                f"nnz/s={rec.nnz_per_s/1e6:.1f}M max={cmax:.0f}",
+                flush=True,
+            )
+        p = c
+    return results
+
+
+def tuple_to_f32_dense(a: SparseCSR):
+    """SparseCSR (small integer values) -> dense f32 matrix on device."""
+    dense_limbs = a.to_dense()
+    f = dense_limbs[0].astype(jnp.float32)
+    if len(dense_limbs) > 1:
+        f = f + dense_limbs[1].astype(jnp.float32) * float(1 << 32)
+    return f
 
 
 def chain_csv(results: List[ChainStep]) -> str:

@@ -232,6 +232,15 @@ class SparseCSR:
             r, c, dense[r, c], dense.shape[0], dense.shape[1], sr, capacity
         )
 
+    def memory_bytes(self) -> int:
+        """Self-reported device storage (reference estimate_memory_usage,
+        src/dense.rs:170, src/chunked.rs:166-170): row_ptr + col_idx +
+        value limbs at the current static capacity."""
+        limb_bytes = sum(l.dtype.itemsize for l in self.values)
+        return int(
+            self.row_ptr.size * 4 + self.capacity * (4 + limb_bytes)
+        )
+
     def check(self) -> "SparseCSR":
         """Host-side guard: raise if a capacity overflow poisoned this matrix."""
         if int(self.nnz) < 0:

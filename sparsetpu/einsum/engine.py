@@ -44,7 +44,11 @@ def _pow2(x: int) -> int:
 
 
 def _operand_info(op: Operand, sr: Semiring):
-    """Returns (kind, shape, limbs) with kind in {dense, sparse}."""
+    """Returns (kind, shape, limbs) with kind in {dense, sparse, grouped}."""
+    from ..grouped import GroupedCSR
+
+    if isinstance(op, GroupedCSR):
+        return "grouped", op.shape, None
     if isinstance(op, SparseCSR):
         return "sparse", op.shape, None
     if isinstance(op, tuple):
@@ -77,6 +81,9 @@ def einsum(spec: str, operands: Sequence[Operand], sr: Semiring = F32SR,
 
 def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
                    dims: Dict[str, int], sr: Semiring):
+    lowered = _try_grouped_matmul(parsed, out, operands, infos, dims, sr)
+    if lowered is not None:
+        return lowered
     lowered = _try_sparse_matmul(parsed, out, operands, infos, dims, sr)
     if lowered is not None:
         return lowered
@@ -85,6 +92,41 @@ def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
         sub = ",".join("".join(i) for i in parsed.inputs) + "->" + "".join(out)
         return jnp.einsum(sub, *arrs, preferred_element_type=jnp.float32)
     return _fallback_loop_nest(parsed, out, operands, infos, dims, sr)
+
+
+# ---------------------------------------------------------------------------
+# tier 0: batched (compound-row) sparse matmul — "bij,bjk->bik"
+# ---------------------------------------------------------------------------
+
+def _try_grouped_matmul(parsed, out, operands, infos, dims, sr):
+    """Batched sparse matmul on GroupedCSR operands: the compound-row walk
+    of the reference VM v2 (linalg/src/einsum.rs:209-232), lowered to one
+    block-diagonal SpGEMM."""
+    from ..grouped import GroupedCSR
+
+    if len(parsed.inputs) != 2 or len(out) != 3:
+        return None
+    a_ix, b_ix = parsed.inputs
+    if len(a_ix) != 3 or len(b_ix) != 3:
+        return None
+    if not (isinstance(operands[0], GroupedCSR)
+            and isinstance(operands[1], GroupedCSR)):
+        return None
+    if a_ix[0] != b_ix[0] or a_ix[0] != out[0]:
+        return None
+    if a_ix[2] != b_ix[1] or (a_ix[1], b_ix[2]) != (out[1], out[2]):
+        return None
+    if len({a_ix[0], a_ix[1], a_ix[2], b_ix[2]}) != 4:
+        return None
+    c = operands[0].matmul(operands[1])
+    # block-diag flat dense -> (g, n, m)
+    flat = c.flat.to_dense()
+    g, n, m = c.g, c.n, c.m
+    gi = jnp.arange(g)[:, None, None]
+    ri = jnp.arange(n)[None, :, None]
+    ci = jnp.arange(m)[None, None, :]
+    dense = tuple(l[gi * n + ri, gi * m + ci] for l in flat)
+    return dense if sr.nlimbs > 1 else dense[0]
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +190,15 @@ def _as_csr(op, info, sr: Semiring, transpose: bool) -> SparseCSR:
 # ---------------------------------------------------------------------------
 
 def _densify(op, info, sr: Semiring):
+    from ..grouped import GroupedCSR
+
+    if isinstance(op, GroupedCSR):
+        flat = op.flat.to_dense()
+        g, n, m = op.shape
+        gi = jnp.arange(g)[:, None, None]
+        ri = jnp.arange(n)[None, :, None]
+        ci = jnp.arange(m)[None, None, :]
+        return tuple(l[gi * n + ri, gi * m + ci] for l in flat)
     if isinstance(op, SparseCSR):
         return op.to_dense()
     return info[2]

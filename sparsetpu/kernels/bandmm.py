@@ -68,6 +68,9 @@ class BandMatrix:
     def nnz(self) -> jnp.ndarray:
         return jnp.sum((self.data != 0).astype(jnp.int32))
 
+    def memory_bytes(self) -> int:
+        return int(self.data.size * self.data.dtype.itemsize)
+
     def max_value(self) -> jnp.ndarray:
         return jnp.max(self.data)
 
@@ -88,6 +91,20 @@ def band_params(n: int, half_width: int, block: int, cyclic: bool):
         nb = -(-n // block)
     wb = -(-half_width // block) + 1  # +1: element offset within the block row
     return nb, wb
+
+
+def cyclic_bandwidth(a: SparseCSR) -> int:
+    """Max cyclic column offset |c - r| mod n over all entries.
+
+    Note: a Moore *torus* lattice's cyclic bandwidth exceeds the naive
+    stride sum — inner-dimension wraps contribute stride_i*(d_i - 1)
+    (e.g. 30^3: 900 + 870 + 29 = 1799, not 931)."""
+    n = a.n_rows
+    row_ptr, col_idx, _ = a.to_numpy()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    delta = col_idx.astype(np.int64) - rows
+    dc = np.minimum(np.mod(delta, n), np.mod(-delta, n))
+    return int(dc.max(initial=0))
 
 
 def csr_band_split(a: SparseCSR, half_width: int, block: int = 128,
