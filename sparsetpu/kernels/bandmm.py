@@ -182,15 +182,24 @@ def _to_limbs(x: jnp.ndarray, limbs: int):
 
 @partial(jax.jit, static_argnames=("cyclic", "p_limbs", "a_limbs"))
 def _band_matmul_data(p_data, a_data, wbp: int, wba: int, cyclic: bool,
-                      p_limbs: int = 0, a_limbs: int = 0):
+                      p_limbs: int = 0, a_limbs: int = 0, row_offset=0):
     """Band block-diagonal convolution.  p_limbs/a_limbs == 0 -> exact f32
     matmuls (HIGHEST precision); otherwise 8-bit bf16 limb decomposition at
-    native MXU rate with f32 recombination."""
-    nb, kbp, B, _ = p_data.shape
+    native MXU rate with f32 recombination.
+
+    ``row_offset`` shifts the global block-row index of p_data's rows —
+    the row-sharded path (dist/band.py) passes each shard's base block-row
+    so the diagonal gather indexes the replicated A correctly.  A's leading
+    axis is always the *global* block count."""
+    nb_loc, kbp, B, _ = p_data.shape
+    nb = a_data.shape[0]
     kba = a_data.shape[1]
     kbc = kbp + kba - 1
-    c = jnp.zeros((nb, kbc, B, B), jnp.float32)
-    iota = jnp.arange(nb)
+    c = jnp.zeros((nb_loc, kbc, B, B), jnp.float32)
+    # tie the loop carry's device-varying status to row_offset so shard_map
+    # (dist/band.py) sees matching carry types; folds away single-device
+    c = c + jnp.asarray(row_offset * 0, jnp.float32)
+    iota = jnp.arange(nb_loc) + row_offset
 
     use_limbs = p_limbs > 0 and a_limbs > 0
     if use_limbs:
@@ -201,7 +210,7 @@ def _band_matmul_data(p_data, a_data, wbp: int, wba: int, cyclic: bool,
     def dp_body(dp, c):
         shift = dp - wbp
         rows = jnp.mod(iota + shift, nb) if cyclic else jnp.clip(iota + shift, 0, nb - 1)
-        valid = jnp.ones((nb,), bool) if cyclic else (
+        valid = jnp.ones((nb_loc,), bool) if cyclic else (
             (iota + shift >= 0) & (iota + shift < nb)
         )
         p_slice = jax.lax.dynamic_slice_in_dim(p_data, dp, 1, axis=1)[:, 0]
