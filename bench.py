@@ -54,6 +54,9 @@ def main():
     else:
         results = run_chain(a, max_step=args.steps, iters=args.iters)
     if args.csv:
+        import os
+
+        os.makedirs(os.path.dirname(args.csv) or ".", exist_ok=True)
         with open(args.csv, "w") as f:
             f.write(chain_csv(results))
 

@@ -1,0 +1,180 @@
+"""Pallas dense-accumulator SpMM: C = A x P at HBM speed of light.
+
+The chain's hot step (ops/spmm.py) is C[i, :] += A[i, k] * P[k, :] — per
+A-entry, one P row is read and FMA'd into one C row.  The jnp formulation
+(gather + segment_sum) materializes the gathered rows in HBM, tripling
+traffic; XLA measured ~4% of HBM bandwidth on the 30^3 torus chain.  This
+kernel is the TPU analog of the reference's per-row dense-scratch Gustavson
+loop (src/graph_csr.rs:306-346).
+
+Layout is the whole trick.  P is stored as (n, S, 128) *row planes*
+(S = padded_cols / 128) so that:
+  - a one-row DMA copies the full (S, 128) trailing block — legal under the
+    Mosaic (8, 128) tiling rule and fully packed in VMEM (a (1, n) buffer
+    would waste 7/8 sublanes);
+  - the per-entry FMA `out[r] += v * row` is a full-width (S, 128) VPU op
+    (~all 8 sublanes busy), and `r` indexes the *untiled* leading dim of the
+    (R, S, 128) output tile, where dynamic indexing is allowed.
+
+The grid walks output-row tiles (R rows); A's entry lists ride per-tile SMEM
+blocks (cols drive the DMAs, so they must be scalar-readable); P rows stream
+HBM->VMEM through an NBUF-deep buffer ring so several DMAs are in flight —
+each P row is read exactly once per referencing entry and C is written
+exactly once, the algorithm's minimum HBM traffic.
+
+Exactness: integer counts carried in f32; products/sums exact while values
+stay < 2^24 (callers guard via max checks, as in ops/spmm.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NBUF = 4  # P-row buffers in flight
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu",)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def tile_sparse_operand(a, rows_per_tile: int = 8):
+    """Host-side prep of the static sparse operand A for the Pallas kernel.
+
+    Returns (cnt i32[T], cols i32[T,1,E], lrow i32[T,1,E], vals f32[T,1,E],
+    meta) with T = n_rows / rows_per_tile output-row tiles and E = max
+    entries in any tile (lane-padded; padded slots are skipped via cnt).
+    The (T, 1, E) layout makes the per-tile SMEM block (1, 1, E) legal."""
+    n = a.n_rows
+    assert n % rows_per_tile == 0, (n, rows_per_tile)
+    row_ptr, col_idx, vals_np = a.to_numpy()
+    if len(vals_np) and float(vals_np.max()) >= float(1 << 24):
+        raise ValueError("pallas spmm requires values < 2^24")
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    t_count = n // rows_per_tile
+    tile_of_entry = rows // rows_per_tile
+    counts = np.bincount(tile_of_entry, minlength=t_count)
+    e_max = _round_up(max(int(counts.max(initial=0)), 1), 8)
+    cols = np.zeros((t_count, 1, e_max), np.int32)
+    lrow = np.zeros((t_count, 1, e_max), np.int32)
+    vals = np.zeros((t_count, 1, e_max), np.float32)
+    starts = row_ptr[::rows_per_tile][:t_count]
+    for t in range(t_count):
+        s, c = int(starts[t]), int(counts[t])
+        cols[t, 0, :c] = col_idx[s:s + c]
+        lrow[t, 0, :c] = rows[s:s + c] - t * rows_per_tile
+        vals[t, 0, :c] = vals_np[s:s + c].astype(np.float32)
+    return (
+        jnp.asarray(counts, jnp.int32),
+        jnp.asarray(cols),
+        jnp.asarray(lrow),
+        jnp.asarray(vals),
+        dict(rows_per_tile=rows_per_tile, n_rows=n),
+    )
+
+
+def _spmm_kernel(cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm, out_ref,
+                 row_buf, sem):
+    """One output-row tile: stream referenced P row planes, FMA into it."""
+    i = pl.program_id(0)
+    cnt = cnt_ref[i]
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def dma(slot, e):
+        return pltpu.make_async_copy(
+            p_hbm.at[cols_ref[0, 0, e]],  # (S, 128) row plane
+            row_buf.at[slot],
+            sem.at[slot],
+        )
+
+    def start(e):
+        dma(jax.lax.rem(e, NBUF), e).start()
+
+    # warm the pipeline: up to NBUF row DMAs in flight
+    for w in range(NBUF):
+        @pl.when(w < cnt)
+        def _():
+            start(w)
+
+    def body(e, _):
+        slot = jax.lax.rem(e, NBUF)
+        dma(slot, e).wait()
+        r = lrow_ref[0, 0, e]
+        out_ref[r] += vals_ref[0, 0, e] * row_buf[slot]
+
+        @pl.when(e + NBUF < cnt)
+        def _():
+            start(e + NBUF)
+
+        return 0
+
+    jax.lax.fori_loop(0, cnt, body, 0)
+
+
+@partial(jax.jit, static_argnames=("rows_per_tile",))
+def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8):
+    """C = A x P with A pre-tiled (tile_sparse_operand) and P dense f32 in
+    row-plane layout (n, S, 128).  Returns C as (n, S, 128) — directly
+    usable as the next chain step's P."""
+    t_count, _, e_max = cols.shape
+    n, s_planes, lane = p.shape
+    assert lane == 128, p.shape
+    assert t_count * rows_per_tile == n, (t_count, rows_per_tile, n)
+    entry_spec = pl.BlockSpec(
+        (1, 1, e_max), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # cnt (small; SMEM)
+        grid=(t_count,),
+        in_specs=[
+            entry_spec,  # cols
+            entry_spec,  # lrow
+            entry_spec,  # vals
+            pl.BlockSpec(memory_space=pltpu.ANY),  # P stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (rows_per_tile, s_planes, lane), lambda i, *_: (i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NBUF, s_planes, lane), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+        ],
+    )
+    return pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, s_planes, lane), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(cols.size) * s_planes * lane,
+            bytes_accessed=(int(cols.size) + n) * s_planes * lane * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(cnt, cols, lrow, vals, p)
+
+
+def to_row_planes(p, n_cols: Optional[int] = None) -> jnp.ndarray:
+    """Dense (n, m) f32 -> row-plane layout (n, S, 128), zero-padding the
+    columns to a multiple of 128."""
+    n, m = p.shape
+    target = _round_up(n_cols or m, 128)
+    p = jnp.asarray(p, jnp.float32)
+    if target != m:
+        p = jnp.pad(p, ((0, 0), (0, target - m)))
+    return p.reshape(n, target // 128, 128)
+
+
+def from_row_planes(c, n_cols: int) -> jnp.ndarray:
+    """Row-plane (n, S, 128) -> dense (n, n_cols)."""
+    n = c.shape[0]
+    return c.reshape(n, -1)[:, :n_cols]
