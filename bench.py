@@ -19,10 +19,13 @@ def main():
     parser.add_argument("--steps", type=int, default=7)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
-    parser.add_argument("--algo", choices=["dense", "band", "esc"], default="dense",
-                        help="dense = dense-accumulator SpMM chain (fastest for "
-                             "the densifying torus chain); band = block-band MXU "
-                             "kernel; esc = sort-based general kernel")
+    parser.add_argument("--algo", choices=["pallas", "dense", "band", "esc"],
+                        default="pallas",
+                        help="pallas = DMA-ring dense-accumulator kernel "
+                             "(speed-of-light for the densifying torus chain); "
+                             "dense = XLA gather/segment-sum SpMM; band = "
+                             "block-band MXU kernel; esc = sort-based general "
+                             "kernel")
     args = parser.parse_args()
 
     import jax
@@ -33,6 +36,7 @@ def main():
 
     from sparsetpu.bench.chain import (
         build_torus, chain_csv, run_chain, run_chain_band, run_chain_dense,
+        run_chain_pallas,
     )
 
     dims = (12, 12, 12) if args.quick else (30, 30, 30)
@@ -41,7 +45,9 @@ def main():
     print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 
-    if args.algo == "dense":
+    if args.algo == "pallas":
+        results = run_chain_pallas(a, max_step=args.steps, iters=args.iters)
+    elif args.algo == "dense":
         results = run_chain_dense(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "band":
         from sparsetpu.kernels.bandmm import cyclic_bandwidth

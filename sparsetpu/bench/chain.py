@@ -42,8 +42,10 @@ def build_torus(dims: Sequence[int] = (30, 30, 30), density: float = 3.0 / 26.0,
     if density < 1.0:
         coo = generate.thin(coo, density, seed=seed)
     rows, cols, vals, n = coo
-    return SparseCSR.from_coo(rows, cols, vals, n, sr=sr,
-                              capacity=_pow2(len(rows)))
+    # host-side build: graph generation is host-side anyway, and the device
+    # COO sort round-trip costs minutes over a remote-compile tunnel
+    return SparseCSR.from_coo_host(rows, cols, vals, n, sr=sr,
+                                   capacity=_pow2(len(rows)))
 
 
 def run_chain(
@@ -189,6 +191,63 @@ def run_chain_dense(
             )
         p = c
     return results
+
+
+def run_chain_pallas(
+    a: SparseCSR,
+    max_step: int = 7,
+    iters: int = 3,
+    rows_per_tile: int = 8,
+    verbose: bool = True,
+) -> List[ChainStep]:
+    """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
+    streamed HBM->VMEM per A-entry via a scalar-driven DMA ring — the
+    speed-of-light formulation of the dense-acc category on TPU."""
+    from ..kernels import spmm_pallas as sp
+
+    cnt, cols, lrow, vals, _ = sp.tile_sparse_operand(
+        a, rows_per_tile=rows_per_tile
+    )
+    p = sp.to_row_planes(host_f32_dense(a))
+    results: List[ChainStep] = []
+    for step in range(2, max_step + 1):
+        c = sp.spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile=rows_per_tile)
+        jax.block_until_ready(c)
+        cmax = float(jax.device_get(jnp.max(c)))
+        if cmax >= float(1 << 24) - 8:
+            raise OverflowError("pallas chain exceeded f32 exact range")
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = sp.spmm_pallas(cnt, cols, lrow, vals, p,
+                                 rows_per_tile=rows_per_tile)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+            del out
+        dt = min(times)
+        nnz = int(jax.device_get(jnp.count_nonzero(c)))
+        rec = ChainStep(step=step, nnz=nnz, flops=0, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=0.0)
+        results.append(rec)
+        if verbose:
+            print(
+                f"A^{step} [pallas]: nnz={nnz} time={dt*1e3:.2f}ms "
+                f"nnz/s={rec.nnz_per_s/1e6:.1f}M max={cmax:.0f}",
+                flush=True,
+            )
+        p, c = c, None
+    return results
+
+
+def host_f32_dense(a: SparseCSR) -> np.ndarray:
+    """SparseCSR (small integer values) -> dense f32 on host (no device
+    round-trip; for chain P initialization)."""
+    row_ptr, col_idx, vals = a.to_numpy()
+    n = a.n_rows
+    out = np.zeros((n, a.n_cols), np.float32)
+    rows = np.repeat(np.arange(n), np.diff(row_ptr))
+    out[rows, col_idx] = vals.astype(np.float32)
+    return out
 
 
 def tuple_to_f32_dense(a: SparseCSR):

@@ -225,6 +225,68 @@ class SparseCSR:
         )
 
     @staticmethod
+    def from_coo_host(
+        rows,
+        cols,
+        vals,
+        n_rows: int,
+        n_cols: Optional[int] = None,
+        sr: Semiring = U64,
+        capacity: Optional[int] = None,
+    ) -> "SparseCSR":
+        """Host-side COO->CSR (numpy lexsort + saturating merge), then one
+        device_put.  Same semantics as from_coo; avoids the device sort
+        round-trip for host-generated graphs (generation is host-side in the
+        reference too, src/graph.rs:90-139)."""
+        n_cols = n_rows if n_cols is None else n_cols
+        rows = np.asarray(rows, np.int64)
+        cols = np.asarray(cols, np.int64)
+        vals = np.asarray(vals)
+        if rows.size:
+            order = np.lexsort((cols, rows))
+            rows, cols, vals = rows[order], cols[order], vals[order]
+            key = rows * n_cols + cols
+            head = np.ones(len(key), bool)
+            head[1:] = key[1:] != key[:-1]
+            seg = np.cumsum(head) - 1
+            if sr.name == "f32":
+                totals = np.zeros(seg[-1] + 1, np.float64)
+                np.add.at(totals, seg, vals.astype(np.float64))
+                totals = totals.astype(np.float32)
+            else:
+                totals = np.zeros(seg[-1] + 1, dtype=object)
+                np.add.at(totals, seg, vals.astype(np.uint64).astype(object))
+                sat = (1 << 64) - 1 if sr.name == "u64" else (1 << 32) - 1
+                totals = np.minimum(totals, sat).astype(np.uint64)
+            rows, cols = rows[head], cols[head]
+            keep = totals != 0
+            rows, cols, totals = rows[keep], cols[keep], totals[keep]
+        else:
+            totals = vals
+        nnz = len(rows)
+        cap = capacity or max(nnz, 1)
+        assert cap >= nnz, (cap, nnz)
+        col_idx = np.full(cap, int(INT32_SENTINEL), np.int32)
+        col_idx[:nnz] = cols
+        row_ptr = np.zeros(n_rows + 1, np.int64)
+        np.add.at(row_ptr, rows + 1, 1)
+        row_ptr = np.cumsum(row_ptr).astype(np.int32)
+        limbs_np = sr.to_host_limbs(totals)
+        values = tuple(
+            jnp.asarray(np.concatenate([l, np.zeros(cap - nnz, l.dtype)]))
+            for l in limbs_np
+        )
+        return SparseCSR(
+            row_ptr=jnp.asarray(row_ptr),
+            col_idx=jnp.asarray(col_idx),
+            values=values,
+            nnz=jnp.asarray(nnz, jnp.int32),
+            n_rows=n_rows,
+            n_cols=n_cols,
+            sr_name=sr.name,
+        )
+
+    @staticmethod
     def from_dense_numpy(dense, sr: Semiring = U64, capacity: Optional[int] = None) -> "SparseCSR":
         dense = np.asarray(dense)
         r, c = np.nonzero(dense)

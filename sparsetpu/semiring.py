@@ -76,6 +76,10 @@ class Semiring:
     def to_numpy(self, v: Value):
         raise NotImplementedError
 
+    def to_host_limbs(self, x):
+        """numpy value array -> list of numpy limb arrays (host-side builds)."""
+        raise NotImplementedError
+
     # -- arithmetic ---------------------------------------------------------
     def add(self, x: Value, y: Value) -> Value:
         raise NotImplementedError
@@ -133,6 +137,12 @@ class U32Sat(Semiring):
         lo, hi = _umull32(x[0], y[0])
         return (jnp.where(hi > 0, _U32_MAX, lo),)
 
+    def to_host_limbs(self, x):
+        x = np.asarray(x, dtype=np.uint64)
+        if np.any(x > 0xFFFFFFFF):
+            raise ValueError("value out of u32 range")
+        return [x.astype(np.uint32)]
+
 
 class U64Sat(Semiring):
     """Saturating u64 semiring as two uint32 limbs (lo, hi).
@@ -183,6 +193,12 @@ class U64Sat(Semiring):
         ovf = (h01 != 0) | (h10 != 0) | ((ahi != 0) & (bhi != 0)) | c1 | c2
         return (jnp.where(ovf, _U32_MAX, l00), jnp.where(ovf, _U32_MAX, s2))
 
+    def to_host_limbs(self, x):
+        x = np.asarray(x, dtype=np.uint64)
+        lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (x >> np.uint64(32)).astype(np.uint32)
+        return [lo, hi]
+
 
 class F32(Semiring):
     """Plain float32 semiring (reference float Value, linalg/src/csr.rs:74-85)."""
@@ -205,6 +221,9 @@ class F32(Semiring):
 
     def mul(self, x: Value, y: Value) -> Value:
         return (x[0] * y[0],)
+
+    def to_host_limbs(self, x):
+        return [np.asarray(x, dtype=np.float32)]
 
 
 U32 = U32Sat()
