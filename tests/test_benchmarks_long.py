@@ -114,3 +114,21 @@ def test_bench_power_law_hybrid():
     got = c.to_csr(sr=U64)
     assert int(got.nnz) == int(want.nnz)
     np.testing.assert_array_equal(got.to_dense_numpy(), want.to_dense_numpy())
+
+
+def test_bench_scaling_efficiency():
+    """Sharded-chain scaling functional check on the virtual mesh
+    (BASELINE north star: 1 chip -> N hosts; here work balance + agreement,
+    wall clock being meaningless on shared host cores)."""
+    from sparsetpu.bench import scaling
+
+    coo = generate.lattice([8, 8, 8], torus=True)
+    coo = generate.thin(coo, 0.3, seed=42)
+    rows, cols, vals, n = coo
+    a = SparseCSR.from_coo_host(rows, cols, vals, n, sr=U64)
+    results = scaling.measure_scaling(a, device_counts=(1, 2, 4, 8),
+                                      steps=2, iters=1)
+    print("\n" + scaling.scaling_csv(results))
+    assert len(results) == 4
+    # row blocks of a homogeneous torus stay balanced
+    assert all(r.work_imbalance < 1.5 for r in results)
