@@ -19,6 +19,10 @@ def main():
     parser.add_argument("--steps", type=int, default=7)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory "
+                             "(the reference's hand-rolled Instant spans "
+                             "become proper device traces)")
     parser.add_argument("--algo", choices=["pallas", "dense", "band", "esc"],
                         default="pallas",
                         help="pallas = DMA-ring dense-accumulator kernel "
@@ -45,6 +49,9 @@ def main():
     print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
     if args.algo == "pallas":
         results = run_chain_pallas(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "dense":
@@ -59,6 +66,9 @@ def main():
                                  max_step=args.steps, iters=args.iters)
     else:
         results = run_chain(a, max_step=args.steps, iters=args.iters)
+    if args.profile:
+        jax.profiler.stop_trace()
+
     if args.csv:
         import os
 

@@ -198,7 +198,6 @@ def run_chain_pallas(
     max_step: int = 7,
     iters: int = 3,
     rows_per_tile: int = 8,
-    repeat_last: int = 4,
     verbose: bool = True,
 ) -> List[ChainStep]:
     """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
@@ -208,9 +207,10 @@ def run_chain_pallas(
     The whole A^2..A^max chain runs as ONE jitted program (single dispatch):
     each host sync through the remote-execution tunnel costs ~20-50 ms,
     several times the 30^3 kernel step itself.  Per-step stats (nnz, max)
-    come from one untimed stats pass; the headline A^max step time comes
-    from a repeat-last-step differential — chain(k-1 steps, + R repeats of
-    the final product step) minus chain(k-1 steps), divided by R."""
+    come from one untimed stats pass; the headline A^max step time is the
+    differential t(chain of k) - t(chain of k-1).  Timing inputs get a
+    per-iteration bump so neither the runtime's result cache nor XLA
+    loop-invariant motion can skip real work."""
     from functools import partial as _partial
 
     from ..kernels import spmm_pallas as sp
@@ -240,36 +240,33 @@ def run_chain_pallas(
         _, maxes, nnzs = jax.lax.fori_loop(0, steps, body, (p, maxes, nnzs))
         return maxes, nnzs
 
-    @_partial(jax.jit, static_argnames=("steps", "repeats"))
-    def timed_chain(p, steps: int, repeats: int):
+    @_partial(jax.jit, static_argnames=("steps",))
+    def timed_chain(p, bump, steps: int):
+        # `bump` perturbs one input element so (a) the remote-execution
+        # runtime cannot serve a cached result for repeated timing calls and
+        # (b) XLA cannot hoist any step out of the loop — every step's input
+        # is data-dependent on the previous product.
+        p = p.at[0, 0, 0].add(bump)
         p = jax.lax.fori_loop(0, steps, lambda i, q: _step(q), p)
-        probe = p[0, 0, 0]
-
-        def rep(i, carry):
-            q, s = carry
-            c = _step(q)
-            return (q, s + c[0, 0, 0])
-
-        _, s = jax.lax.fori_loop(0, repeats, rep, (p, jnp.float32(0.0)))
-        return probe + s
+        return p[0, 0, 0]
 
     maxes, nnzs = map(np.asarray, map(jax.device_get, stats_chain(p0, k)))
     if float(maxes.max()) >= float(1 << 24) - 8:
         raise OverflowError("pallas chain exceeded f32 exact range")
 
-    def _time(steps, repeats):
-        float(timed_chain(p0, steps, repeats))  # compile + warm
+    def _time(steps):
+        float(timed_chain(p0, 0.0, steps))  # compile + warm
         best = float("inf")
-        for _ in range(iters):
+        for it in range(iters):
             t0 = time.perf_counter()
-            float(timed_chain(p0, steps, repeats))
+            float(timed_chain(p0, float(it + 1), steps))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_base = _time(k - 1, 0) if k > 1 else 0.0
-    t_full = _time(k - 1, 1 + repeat_last)
-    t_last = (t_full - t_base) / (1 + repeat_last)
-    t_per_step = t_full / (k + repeat_last)
+    t_full = _time(k)
+    t_base = _time(k - 1) if k > 1 else 0.0
+    t_last = max(t_full - t_base, 1e-9)
+    t_per_step = t_full / k
 
     results: List[ChainStep] = []
     for idx in range(k):

@@ -87,3 +87,38 @@ def try_plot_crossover(csv_texts: Sequence[str], out_png: str) -> bool:
     fig.savefig(out_png, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return True
+
+
+def main(argv=None):
+    """Assemble bench_report.md from bench_out CSVs (the reference's
+    committed bench_report.md analog)."""
+    import argparse
+    import glob
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--bench-dir", default="bench_out")
+    parser.add_argument("--out", default="bench_report.md")
+    args = parser.parse_args(argv)
+
+    parts = ["# sparsetpu benchmark report\n"]
+    for path in sorted(glob.glob(os.path.join(args.bench_dir, "chain_*.csv"))):
+        with open(path) as f:
+            parts.append(csv_to_markdown(f.read(), title=os.path.basename(path)))
+    tip = sorted(glob.glob(os.path.join(args.bench_dir, "tipover_results_*.csv")))
+    for path in tip:
+        with open(path) as f:
+            text = f.read()
+        parts.append(csv_to_markdown(text, title=os.path.basename(path)))
+        lines = text.strip().split("\n")
+        if lines and "ref_time=" in lines[0]:
+            parts.append(f"\n`{lines[0]}`\n")
+    for path in sorted(glob.glob(os.path.join(args.bench_dir, "scaling_*.csv"))):
+        with open(path) as f:
+            parts.append(csv_to_markdown(f.read(), title=os.path.basename(path)))
+    with open(args.out, "w") as f:
+        f.write("\n".join(parts))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

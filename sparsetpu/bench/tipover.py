@@ -138,3 +138,34 @@ def crossover_density(csv_text: str) -> Optional[float]:
         else:
             return last_below
     return last_below
+
+
+def main(argv=None):
+    """CLI analog of the reference `pathmap_sla` binary (src/main.rs:289-311):
+    run the attention tipover sweep per GPT config, writing
+    ``bob_results_{i}.csv``-style files (named ``tipover_results_{i}.csv``)."""
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description=main.__doc__)
+    parser.add_argument("--configs", type=int, nargs="*", default=[0],
+                        help="GPT config indices (0..4), default [0]")
+    parser.add_argument("--out-dir", default="bench_out")
+    parser.add_argument("--iters", type=int, default=2)
+    parser.add_argument("--max-flops", type=int, default=1 << 27)
+    args = parser.parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+    for ci in args.configs:
+        cfg = GPT_CONFIGS[ci]
+        print(f"# config {ci}: batch={cfg[0]} seq={cfg[1]} heads={cfg[2]} "
+              f"emb={cfg[3]}", flush=True)
+        csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops)
+        path = os.path.join(args.out_dir, f"tipover_results_{ci}.csv")
+        with open(path, "w") as f:
+            f.write(csv)
+        x = crossover_density(csv)
+        print(f"# crossover density: {x}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -173,3 +173,52 @@ def test_differential_sweep(lhs, out):
     if any(isinstance(o, SparseCSR) for o in ops_sp):
         (got_sp,) = einsum(spec, ops_sp)
         np.testing.assert_array_equal(np.asarray(got_sp), want.astype(np.float32))
+
+
+def _long_sweep_cases():
+    """Extended differential sweep (reference einsum_sweep.rs scale-down):
+    alphabet {a,b,c,d}, 1-2 inputs up to rank 3 with repeats, all output
+    permutations, dims {2,3,4,5} keyed by letter."""
+    inputs1 = ["a", "ab", "aa", "abc", "aab", "aba", "baa", "abcd"]
+    inputs2 = [("ab", "bc"), ("ab", "cb"), ("ba", "bc"), ("ab", "ab"),
+               ("ab", "ba"), ("abc", "cd"), ("abc", "bc"), ("abc", "acd"),
+               ("aab", "bc"), ("ab", "bb"), ("a", "a"), ("abc", "abc")]
+    cases = []
+    for inp in inputs1:
+        letters = sorted(set(inp))
+        for r in range(len(letters) + 1):
+            for out in itertools.permutations(letters, r):
+                cases.append((inp, "".join(out)))
+    for i1, i2 in inputs2:
+        letters = sorted(set(i1) | set(i2))
+        for r in range(min(len(letters), 3) + 1):
+            for out in itertools.permutations(letters, r):
+                cases.append((f"{i1},{i2}", "".join(out)))
+    return cases
+
+
+@pytest.mark.long
+def test_differential_sweep_long():
+    dims_of = {"a": 2, "b": 3, "c": 4, "d": 5}
+    n_checked = 0
+    for lhs, out in _long_sweep_cases():
+        spec = f"{lhs}->{out}"
+        inputs = lhs.split(",")
+        ops_np = []
+        for idx, inp in enumerate(inputs):
+            shape = tuple(dims_of[ch] for ch in inp)
+            ops_np.append(_rand_dense(shape, seed=idx * 131 + len(spec) * 7))
+        want = np.einsum(spec, *ops_np).astype(np.float32)
+        (got,) = einsum(spec, ops_np)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=spec)
+        # sparse variants for 2-D distinct-letter operands
+        ops_sp = [
+            SparseCSR.from_dense_numpy(o, sr=F32SR)
+            if o.ndim == 2 and len(set(inp)) == 2 else o
+            for o, inp in zip(ops_np, inputs)
+        ]
+        if any(isinstance(o, SparseCSR) for o in ops_sp):
+            (got_sp,) = einsum(spec, ops_sp)
+            np.testing.assert_array_equal(np.asarray(got_sp), want, err_msg=spec)
+        n_checked += 1
+    print(f"\nlong einsum sweep: {n_checked} specs checked bit-exact")
