@@ -1,0 +1,46 @@
+"""Fused-loop device timing.
+
+A host sync through the remote-execution tunnel costs ~20-50 ms — far above
+microsecond-scale kernels — and the runtime caches results of repeated
+identical dispatches, so the reference's warmup + N-iteration `Instant`
+discipline (linalg/benches/perf.rs:29-41) is re-expressed on TPU as: run N
+repetitions *inside one jitted program* whose per-repetition input is
+perturbed by the loop index (defeating both XLA loop-invariant motion and
+the runtime result cache), sync once, divide.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def fused_loop_time(make_step: Callable, reps: int = 16, iters: int = 3) -> float:
+    """Median-free best-of-iters per-repetition time of ``make_step``.
+
+    ``make_step(bump)`` must run the computation with its input perturbed by
+    the traced f32 scalar ``bump`` and return a f32 scalar probe derived
+    from the result (so nothing is dead code).  Each repetition gets a
+    distinct bump, so no iteration can be hoisted out of the (sequential)
+    while-loop.
+    """
+
+    @jax.jit
+    def run(bump0):
+        def body(i, acc):
+            probe = make_step(bump0 + i.astype(jnp.float32))
+            # 0 * probe keeps the data dependency without growing values
+            return acc + 0.0 * probe
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(run(jnp.float32(0.0)))  # compile + warm
+    best = float("inf")
+    for it in range(iters):
+        t0 = time.perf_counter()
+        float(run(jnp.float32((it + 1) * reps)))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps

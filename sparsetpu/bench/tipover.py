@@ -14,11 +14,13 @@ timing, src/sparse.rs:109-111).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..attention import scores
@@ -59,16 +61,19 @@ def _time(fn, iters: int = 3) -> float:
     return best
 
 
-def dense_baseline(shape, iters: int = 3) -> float:
+def dense_baseline(shape, iters: int = 3, reps: int = 8) -> float:
+    from .timing import fused_loop_time
+
     rng = np.random.default_rng(0)
     q = rng.standard_normal(shape).astype(np.float32)
     k = rng.standard_normal(shape).astype(np.float32)
     qd, kd = jax.device_put(q), jax.device_put(k)
 
-    def run():
-        jax.block_until_ready(scores.attention_scores_dense_jit(qd, kd))
+    def step(bump):
+        out = scores.attention_scores_dense(qd + bump * 1e-30, kd)
+        return out[0, 0, 0, 0]
 
-    return _time(run, iters)
+    return fused_loop_time(step, reps=reps, iters=iters)
 
 
 def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
@@ -103,13 +108,25 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
             break
         cap = _pow2(flops)
 
-        dry = _time(
-            lambda: jax.block_until_ready(symbolic_flops(q_csr, kt_csr)), iters
-        )
+        from .timing import fused_loop_time
+
+        def dry_step(bump):
+            q2 = dataclasses.replace(
+                q_csr, values=(q_csr.values[0] + bump * 1e-30,)
+            )
+            return symbolic_flops(q2, kt_csr).astype(jnp.float32)
+
+        dry = fused_loop_time(dry_step, reps=4, iters=iters)
         c = spgemm(q_csr, kt_csr, cap)
-        attn = _time(
-            lambda: jax.block_until_ready(spgemm(q_csr, kt_csr, cap).nnz), iters
-        )
+
+        def attn_step(bump):
+            q2 = dataclasses.replace(
+                q_csr, values=(q_csr.values[0] + bump * 1e-30,)
+            )
+            out = spgemm(q2, kt_csr, cap)
+            return out.values[0][0]
+
+        attn = fused_loop_time(attn_step, reps=4, iters=iters)
         v_nz = int(c.nnz)
         row = (
             f"esc,{density:.4f},{q_nz},{k_nz},{v_nz},"

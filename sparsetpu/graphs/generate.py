@@ -129,23 +129,35 @@ def lattice(dims: Sequence[int], torus: bool) -> Coo:
 def thin(coo: Coo, density: float, seed: int = 0) -> Coo:
     """Randomly keep a fraction of edges, preserving symmetry
     (src/graph_csr.rs:226-247): decide per ordered entry with r <= c; when an
-    upper entry is kept, its transpose (if present) is kept too."""
+    upper entry is kept, its transpose (if present) is kept too.
+
+    Vectorized: one rng draw per upper-or-diagonal entry (in the input's
+    entry order), transpose membership via a sorted key join."""
     rows, cols, vals, n = coo
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals, np.uint64)
     rng = np.random.default_rng(seed)
-    lookup = {(int(r), int(c)): v for r, c, v in zip(rows, cols, vals)}
-    out_r, out_c, out_v = [], [], []
-    for r, c, v in zip(rows, cols, vals):
-        if r <= c and rng.random() < density:
-            out_r.append(r)
-            out_c.append(c)
-            out_v.append(v)
-            if r != c:
-                rev = lookup.get((int(c), int(r)))
-                if rev is not None:
-                    out_r.append(c)
-                    out_c.append(r)
-                    out_v.append(rev)
-    return _dedup_coo(n, out_r, out_c, np.asarray(out_v, np.uint64) if out_v else np.zeros(0, np.uint64))
+    upper = rows <= cols
+    keep_up = np.zeros(len(rows), bool)
+    keep_up[upper] = rng.random(int(upper.sum())) < density
+    # kept upper entries
+    ur, uc, uv = rows[keep_up], cols[keep_up], vals[keep_up]
+    # transposes of kept strict-upper entries that exist in the input:
+    # join on (row, col) keys
+    strict = ur != uc
+    want_key = uc[strict] * n + ur[strict]  # transposed coordinates
+    key_all = rows * n + cols
+    order = np.argsort(key_all, kind="stable")
+    key_sorted = key_all[order]
+    pos = np.searchsorted(key_sorted, want_key)
+    pos_c = np.clip(pos, 0, len(key_sorted) - 1)
+    found = (len(key_sorted) > 0) & (key_sorted[pos_c] == want_key)
+    src_idx = order[pos_c[found]]
+    out_r = np.concatenate([ur, rows[src_idx]])
+    out_c = np.concatenate([uc, cols[src_idx]])
+    out_v = np.concatenate([uv, vals[src_idx]])
+    return _dedup_coo(n, out_r, out_c, out_v)
 
 
 def identity(n: int) -> Coo:
