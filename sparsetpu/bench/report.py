@@ -122,3 +122,66 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def try_plot_chain(csv_text: str, out_png: str,
+                   baseline_ms: Optional[dict] = None) -> bool:
+    """Chain step-time plot vs the reference CPU baselines
+    (plot_surface.py's role for the headline chain)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    steps, times = [], []
+    for line in csv_text.strip().split("\n")[1:]:
+        parts = line.split(",")
+        steps.append(int(parts[0]))
+        times.append(float(parts[3]) * 1e3)
+    ref_seq = {2: 4.0, 3: 14.8, 4: 43.9, 5: 101, 6: 192, 7: 358}
+    ref_par = {2: 4.9, 3: 5.8, 4: 9.0, 5: 17.1, 6: 24.4, 7: 40.5}
+    ref_mag = {2: 8.3, 3: 14.4, 4: 23.5, 5: 28.3, 6: 80.4, 7: 129}
+    fig, ax = plt.subplots(figsize=(7, 5))
+    ax.plot(steps, times, marker="o", label="sparsetpu (1 TPU v5e chip)")
+    for name, ref in (("CSR seq (CPU)", ref_seq), ("CSR par (CPU)", ref_par),
+                      ("MAGNUS par (CPU)", ref_mag)):
+        xs = [s for s in steps if s in ref]
+        ax.plot(xs, [ref[s] for s in xs], marker="s", alpha=0.6, label=name)
+    ax.set_yscale("log")
+    ax.set_xlabel("chain step k (A^k)")
+    ax.set_ylabel("step time (ms)")
+    ax.set_title("A^2..A^7 SpGEMM chain, 30^3 Moore torus")
+    ax.legend()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
+def try_plot_overhead(csv_text: str, out_png: str) -> bool:
+    """DenseBTree storage-overhead sawtooth (plot_overhead.py analog)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return False
+    ns, ovs = [], []
+    for line in csv_text.strip().split("\n")[1:]:
+        a, b = line.split(",")
+        ns.append(int(a))
+        ovs.append(float(b) * 100)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(ns, ovs, lw=0.8)
+    ax.axhline(100 / 15, linestyle="--", alpha=0.6,
+               label="1/(K-1) asymptote (6.67%)")
+    ax.set_xlabel("n keys")
+    ax.set_ylabel("index overhead (%)")
+    ax.legend()
+    os.makedirs(os.path.dirname(out_png) or ".", exist_ok=True)
+    fig.savefig(out_png, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return True
