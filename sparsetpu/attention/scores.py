@@ -79,7 +79,10 @@ def tensor_to_grouped_csr(x: np.ndarray, transpose_last: bool = False,
     cols = gi.astype(np.int64) * d + di
     vals = xg[gi, hi, di]
     cap = capacity or max(len(rows), 1)
-    return SparseCSR.from_coo(
+    # host-side build: the sweep constructs two fresh CSRs per density step,
+    # and the device COO sort costs a compile per capacity through the
+    # remote-compile tunnel
+    return SparseCSR.from_coo_host(
         rows, cols, vals, g * h, g * d, sr=F32SR, capacity=cap
     )
 

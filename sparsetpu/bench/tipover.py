@@ -77,8 +77,13 @@ def dense_baseline(shape, iters: int = 3, reps: int = 8) -> float:
 
 
 def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
-                 max_flops: int = 1 << 27, verbose: bool = True) -> str:
-    """One GPT config: dense baseline + density sweep. Returns CSV text."""
+                 max_flops: int = 1 << 27, per_decade: int = 4,
+                 verbose: bool = True) -> str:
+    """One GPT config: dense baseline + density sweep. Returns CSV text.
+
+    ``per_decade`` controls the log-density grid (the reference uses 4;
+    every distinct step shape costs a fresh XLA compile, so remote-compile
+    rigs want 2)."""
     shape = config_shape(cfg)
     n_weights = int(np.prod(shape))
     dense_t = dense_baseline(shape)
@@ -91,7 +96,9 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         print(header, flush=True)
 
     for ii in range(n_density_steps):
-        density = 1e-4 * 10 ** (ii / 4.0)
+        density = 1e-4 * 10 ** (ii / float(per_decade))
+        if density > 1.0:
+            break
         t0 = time.perf_counter()
         q = scores.random_sparse_tensor(shape, density, seed=2 * ii)
         k = scores.random_sparse_tensor(shape, density, seed=2 * ii + 1)
@@ -170,13 +177,15 @@ def main(argv=None):
     parser.add_argument("--out-dir", default="bench_out")
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--max-flops", type=int, default=1 << 27)
+    parser.add_argument("--per-decade", type=int, default=4)
     args = parser.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     for ci in args.configs:
         cfg = GPT_CONFIGS[ci]
         print(f"# config {ci}: batch={cfg[0]} seq={cfg[1]} heads={cfg[2]} "
               f"emb={cfg[3]}", flush=True)
-        csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops)
+        csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops,
+                           per_decade=args.per_decade)
         path = os.path.join(args.out_dir, f"tipover_results_{ci}.csv")
         with open(path, "w") as f:
             f.write(csv)

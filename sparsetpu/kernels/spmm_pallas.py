@@ -53,7 +53,8 @@ def tile_sparse_operand(a, rows_per_tile: int = 8):
 
     Returns (cnt i32[T], cols i32[T,1,E], lrow i32[T,1,E], vals f32[T,1,E],
     meta) with T = n_rows / rows_per_tile output-row tiles and E = max
-    entries in any tile (lane-padded; padded slots are skipped via cnt).
+    entries in any tile; cnt is padded to a nonzero multiple of NBUF and
+    padded slots are zero no-op entries the branch-free pipeline executes.
     The (T, 1, E) layout makes the per-tile SMEM block (1, 1, E) legal."""
     n = a.n_rows
     assert n % rows_per_tile == 0, (n, rows_per_tile)
@@ -68,7 +69,11 @@ def tile_sparse_operand(a, rows_per_tile: int = 8):
     # scalar core is the kernel's throughput limit, so the issue loop should
     # do no arithmetic beyond the SMEM loads
     s_planes = _round_up(_round_up(a.n_cols, 128) // 128, 8)
-    e_max = _round_up(max(int(counts.max(initial=0)), 1), 8)
+    # per-tile counts padded to a nonzero multiple of NBUF: the kernel's
+    # pipeline is branch-free, so padded entries (col/lrow offset 0, val 0)
+    # really run — a DMA of P row 0 and a zero FMA
+    cnt_pad = np.maximum(-(-counts // NBUF) * NBUF, NBUF)
+    e_max = _round_up(max(int(cnt_pad.max(initial=NBUF)), NBUF), 8)
     cols = np.zeros((t_count, 1, e_max), np.int32)
     lrow = np.zeros((t_count, 1, e_max), np.int32)
     vals = np.zeros((t_count, 1, e_max), np.float32)
@@ -79,7 +84,7 @@ def tile_sparse_operand(a, rows_per_tile: int = 8):
         lrow[t, 0, :c] = (rows[s:s + c] - t * rows_per_tile) * s_planes
         vals[t, 0, :c] = vals_np[s:s + c].astype(np.float32)
     return (
-        jnp.asarray(counts, jnp.int32),
+        jnp.asarray(cnt_pad, jnp.int32),
         jnp.asarray(cols),
         jnp.asarray(lrow),
         jnp.asarray(vals),
@@ -98,7 +103,12 @@ def _spmm_kernel(s_planes, cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm,
     lowers to a masked full-block update costing ~R times more VPU: measured
     75ms vs 25ms per 30^3 chain step.)"""
     i = pl.program_id(0)
-    cnt = cnt_ref[i]
+    # cnt is pre-padded to a nonzero multiple of NBUF (tile_sparse_operand);
+    # padded entries carry col_off = lrow_off = 0, val = 0 — a harmless DMA
+    # of row 0 and a zero FMA — so the hot loop has NO branches, NO rem:
+    # a branch-free software pipeline of NBUF-entry groups where group g's
+    # waits retire exactly the starts issued by group g-1.
+    groups = cnt_ref[i] // NBUF
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def dma(slot, e):
@@ -109,28 +119,29 @@ def _spmm_kernel(s_planes, cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm,
             sem.at[slot],
         )
 
-    def start(e):
-        dma(jax.lax.rem(e, NBUF), e).start()
-
-    # warm the pipeline: up to NBUF row DMAs in flight
-    for w in range(NBUF):
-        @pl.when(w < cnt)
-        def _():
-            start(w)
-
-    def body(e, _):
-        slot = jax.lax.rem(e, NBUF)
-        dma(slot, e).wait()
+    def fma(slot, e):
         dst = pl.multiple_of(lrow_ref[0, 0, e], 8)  # pre-scaled by S
         out_ref[pl.ds(dst, s_planes), :] += vals_ref[0, 0, e] * row_buf[slot]
 
-        @pl.when(e + NBUF < cnt)
-        def _():
-            start(e + NBUF)
+    # prologue: fill all NBUF slots
+    for s in range(NBUF):
+        dma(s, s).start()
 
+    def body(g, _):
+        base = g * NBUF
+        for s in range(NBUF):  # unrolled: static slots
+            dma(s, base + s).wait()
+            fma(s, base + s)
+            dma(s, base + NBUF + s).start()
         return 0
 
-    jax.lax.fori_loop(0, cnt, body, 0)
+    jax.lax.fori_loop(0, groups - 1, body, 0)
+
+    # epilogue: drain the last group (no further starts)
+    last = (groups - 1) * NBUF
+    for s in range(NBUF):
+        dma(s, last + s).wait()
+        fma(s, last + s)
 
 
 @partial(jax.jit, static_argnames=("rows_per_tile",))
