@@ -186,3 +186,44 @@ def _f32_to_sr_csr(a: SparseCSR, sr: Semiring) -> SparseCSR:
         n_cols=a.n_cols,
         sr_name=sr.name,
     )
+
+
+def choose_strategy(a: SparseCSR, steps: int = 1) -> str:
+    """Pick the SpGEMM kernel category for C = A^(steps+1) chains.
+
+    The role of the reference's MagnusConfig::default() heuristics
+    (src/graph_magnus.rs:225-242) on TPU: inspect the matrix and route to
+
+      - "band":  (cyclic-)banded support and small values — block-band MXU
+                 kernel, zero sparse overhead (Moore tori; RCM'd meshes);
+      - "dense-acc": product densifies (band covers much of the matrix
+                 within `steps` squarings/products) — Pallas row-streaming
+                 dense-accumulator kernel (kernels/spmm_pallas.py);
+      - "esc":   everything else (general sparsity, exact u64 needed at
+                 full range) — the sort-based ESC kernel.
+    """
+    from ..kernels.bandmm import cyclic_bandwidth
+
+    n = a.n_rows
+    nnz = int(a.nnz)
+    if nnz == 0 or n == 0:
+        return "esc"
+    vmax = _csr_max_value(a)
+    if vmax >= F32_EXACT_LIMIT:
+        return "esc"
+    bw = cyclic_bandwidth(a)
+    # the chain product densifies when (a) the band growth (+bw per
+    # product) covers the matrix AND (b) the expected output row degree
+    # (deg^(steps+1), capped at n) becomes a meaningful fraction of n
+    deg = max(nnz / max(n, 1), 1.0)
+    band_cover = min(2.0 * bw * max(steps, 1) / max(n, 1), 1.0)
+    exp_row_deg = min(deg ** (steps + 1), float(n))
+    if band_cover >= 0.5 and exp_row_deg >= 0.05 * n:
+        return "dense-acc"
+    # banded and staying banded: MXU band kernel wins when the band is
+    # reasonably occupied (dense blocks not mostly zeros)
+    band_frac = 2.0 * bw / max(n, 1)
+    band_density = nnz / max(band_frac * n * n, 1.0)
+    if band_density > 0.01:
+        return "band"
+    return "esc"

@@ -158,3 +158,43 @@ class TestSpAdd:
         b = SparseCSR.from_coo([0], [0], [0x100], 1, sr=U64)
         c = spadd(a, b)
         assert c.get(0, 0) == 0xFFFFFFFFFFFFFFFF
+
+
+class TestChooseStrategy:
+    def test_torus_chain_routes_dense_acc(self):
+        from sparsetpu.ops.hybrid import choose_strategy
+        from sparsetpu.graphs import generate
+
+        coo = generate.lattice([8, 8, 8], torus=True)
+        coo = generate.thin(coo, 3.0 / 26.0, seed=42)
+        rows, cols, vals, n = coo
+        a = SparseCSR.from_coo_host(rows, cols, vals, n, sr=U64)
+        # 8^3 torus: bandwidth ~ 73 of n=512 -> one product already covers
+        # >50% of the matrix -> dense-accumulator chain
+        assert choose_strategy(a, steps=6) == "dense-acc"
+
+    def test_narrow_band_routes_band(self):
+        from sparsetpu.ops.hybrid import choose_strategy
+
+        n = 4096
+        r = np.arange(n - 1)
+        rows = np.concatenate([r, r + 1])
+        cols = np.concatenate([r + 1, r])
+        a = SparseCSR.from_coo_host(rows, cols, np.ones(len(rows)), n, sr=U64)
+        assert choose_strategy(a, steps=1) == "band"
+
+    def test_scattered_routes_esc(self):
+        from sparsetpu.ops.hybrid import choose_strategy
+        from sparsetpu.graphs import generate
+
+        coo = generate.random_graph(4096, 8192, seed=1)
+        rows, cols, vals, n = coo
+        a = SparseCSR.from_coo_host(rows, cols, vals, n, sr=U64)
+        # random graph: full-width band, nearly empty -> ESC
+        assert choose_strategy(a, steps=1) == "esc"
+
+    def test_big_values_route_esc(self):
+        from sparsetpu.ops.hybrid import choose_strategy
+
+        a = SparseCSR.from_coo_host([0, 1], [1, 0], [1 << 40, 1], 4, sr=U64)
+        assert choose_strategy(a) == "esc"
