@@ -161,20 +161,15 @@ def unshard(s: ShardedCSR) -> SparseCSR:
     )
 
 
-def symbolic_flops_sharded(s: ShardedCSR, b: SparseCSR,
-                           mesh: Optional[Mesh] = None) -> jnp.ndarray:
-    """Per-shard partial-product counts for S x B — int32[nd], sharded.
+from functools import partial
 
-    The host sizes the numeric pass's uniform expand_cap from ``max()`` of
-    this (the sharded analog of the reference symbolic pass + prefix sums,
-    src/graph_csr.rs:363-417)."""
-    mesh = mesh if mesh is not None else default_mesh(s.n_shards)
-    cap = s.capacity
-    n_rows_b = b.n_rows
-    b_row_nnz = b.row_nnz()
 
-    def local(ci, nnz, brn):
-        valid = jnp.arange(cap) < nnz[0]
+@partial(jax.jit, static_argnames=("mesh", "n_rows_b"))
+def _symbolic_flops_impl(col_idx, nnz, b_row_nnz, *, mesh, n_rows_b):
+    cap = col_idx.shape[1]
+
+    def local(ci, nz, brn):
+        valid = jnp.arange(cap) < nz[0]
         col = jnp.clip(ci[0], 0, n_rows_b - 1)
         return jnp.sum(jnp.where(valid, brn[col], 0))[None]
 
@@ -183,7 +178,54 @@ def symbolic_flops_sharded(s: ShardedCSR, b: SparseCSR,
         in_specs=(P(AXIS), P(AXIS), P()),
         out_specs=P(AXIS),
     )
-    return f(s.col_idx, s.nnz, b_row_nnz)
+    return f(col_idx, nnz, b_row_nnz)
+
+
+def symbolic_flops_sharded(s: ShardedCSR, b: SparseCSR,
+                           mesh: Optional[Mesh] = None) -> jnp.ndarray:
+    """Per-shard partial-product counts for S x B — int32[nd], sharded.
+
+    The host sizes the numeric pass's uniform expand_cap from ``max()`` of
+    this (the sharded analog of the reference symbolic pass + prefix sums,
+    src/graph_csr.rs:363-417).  jit-cached per (mesh, shapes) so chain
+    steps don't retrace."""
+    mesh = mesh if mesh is not None else default_mesh(s.n_shards)
+    return _symbolic_flops_impl(
+        s.col_idx, s.nnz, b.row_nnz(), mesh=mesh, n_rows_b=b.n_rows
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "mesh", "expand_cap", "out_cap", "n_local", "n_cols", "sr_name",
+    "bn_rows", "bn_cols", "b_sr_name",
+))
+def _spgemm_sharded_impl(s_rp, s_ci, s_vals, s_nnz, b_rp, b_ci, b_vals,
+                         b_nnz, *, mesh, expand_cap, out_cap, n_local,
+                         n_cols, sr_name, bn_rows, bn_cols, b_sr_name):
+    def local(rp, ci, vals, nnz, brp, bci, bvals, bnnz):
+        a_loc = SparseCSR(
+            row_ptr=rp[0], col_idx=ci[0],
+            values=tuple(v[0] for v in vals), nnz=nnz[0],
+            n_rows=n_local, n_cols=n_cols, sr_name=sr_name,
+        )
+        b_loc = SparseCSR(
+            row_ptr=brp, col_idx=bci, values=bvals, nnz=bnnz,
+            n_rows=bn_rows, n_cols=bn_cols, sr_name=b_sr_name,
+        )
+        c = spgemm(a_loc, b_loc, expand_cap, out_cap)
+        return (
+            c.row_ptr[None], c.col_idx[None],
+            tuple(v[None] for v in c.values), c.nnz[None],
+        )
+
+    vspec = tuple(P(AXIS) for _ in s_vals)
+    bvspec = tuple(P() for _ in b_vals)
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), vspec, P(AXIS), P(), P(), bvspec, P()),
+        out_specs=(P(AXIS), P(AXIS), vspec, P(AXIS)),
+    )
+    return f(s_rp, s_ci, s_vals, s_nnz, b_rp, b_ci, b_vals, b_nnz)
 
 
 def spgemm_sharded(s: ShardedCSR, b: SparseCSR, expand_cap: int,
@@ -195,40 +237,20 @@ def spgemm_sharded(s: ShardedCSR, b: SparseCSR, expand_cap: int,
     (ops/spgemm.py) on its row block with the same ``expand_cap`` (>= the max
     per-shard symbolic flop count).  Zero cross-device traffic during the
     numeric phase — the chain driver calls this repeatedly with the product
-    staying sharded in place."""
+    staying sharded in place; the launch is jit-cached per
+    (mesh, capacities, shapes) so repeated steps don't retrace."""
     mesh = mesh if mesh is not None else default_mesh(s.n_shards)
     out_cap = out_cap or expand_cap
-    n_local, n_cols, sr_name = s.n_local, s.n_cols, s.sr_name
-    assert n_cols == b.n_rows, (s.n_rows, n_cols, b.shape)
-
-    def local(rp, ci, vals, nnz, b_rp, b_ci, b_vals, b_nnz):
-        a_loc = SparseCSR(
-            row_ptr=rp[0], col_idx=ci[0],
-            values=tuple(v[0] for v in vals), nnz=nnz[0],
-            n_rows=n_local, n_cols=n_cols, sr_name=sr_name,
-        )
-        b_loc = SparseCSR(
-            row_ptr=b_rp, col_idx=b_ci, values=b_vals, nnz=b_nnz,
-            n_rows=b.n_rows, n_cols=b.n_cols, sr_name=b.sr_name,
-        )
-        c = spgemm(a_loc, b_loc, expand_cap, out_cap)
-        return (
-            c.row_ptr[None], c.col_idx[None],
-            tuple(v[None] for v in c.values), c.nnz[None],
-        )
-
-    vspec = tuple(P(AXIS) for _ in s.values)
-    bvspec = tuple(P() for _ in b.values)
-    f = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), vspec, P(AXIS), P(), P(), bvspec, P()),
-        out_specs=(P(AXIS), P(AXIS), vspec, P(AXIS)),
-    )
-    rp, ci, vals, nnz = f(
+    assert s.n_cols == b.n_rows, (s.n_rows, s.n_cols, b.shape)
+    rp, ci, vals, nnz = _spgemm_sharded_impl(
         s.row_ptr, s.col_idx, s.values, s.nnz,
         b.row_ptr, b.col_idx, b.values, b.nnz,
+        mesh=mesh, expand_cap=expand_cap, out_cap=out_cap,
+        n_local=s.n_local, n_cols=s.n_cols, sr_name=s.sr_name,
+        bn_rows=b.n_rows, bn_cols=b.n_cols, b_sr_name=b.sr_name,
     )
     return ShardedCSR(
         row_ptr=rp, col_idx=ci, values=vals, nnz=nnz,
-        n_rows=s.n_rows, n_cols=b.n_cols, sr_name=sr_name, n_local=n_local,
+        n_rows=s.n_rows, n_cols=b.n_cols, sr_name=s.sr_name,
+        n_local=s.n_local,
     )
