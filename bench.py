@@ -23,6 +23,10 @@ def main():
                         help="write a jax.profiler trace to this directory "
                              "(the reference's hand-rolled Instant spans "
                              "become proper device traces)")
+    parser.add_argument("--no-verify", action="store_true",
+                        help="skip the native-oracle agreement check "
+                             "(reference discipline is agreement-then-time, "
+                             "src/graph_magnus.rs:751-783)")
     parser.add_argument("--algo", choices=["pallas", "dense", "band", "esc"],
                         default="pallas",
                         help="pallas = DMA-ring dense-accumulator kernel "
@@ -49,6 +53,16 @@ def main():
     print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
 
+    native_stats = None
+    if args.algo == "pallas" and not args.no_verify:
+        from sparsetpu.bench.chain import verify_chain_against_native
+
+        t0 = time.time()
+        native_stats = verify_chain_against_native(a, max_step=args.steps)
+        print(f"verified vs native oracle: A^{args.steps} nnz="
+              f"{native_stats[-1][1]} max={native_stats[-1][2]} "
+              f"({time.time()-t0:.1f}s)", file=sys.stderr, flush=True)
+
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
@@ -68,6 +82,13 @@ def main():
         results = run_chain(a, max_step=args.steps, iters=args.iters)
     if args.profile:
         jax.profiler.stop_trace()
+
+    if native_stats is not None:
+        # per-step nnz agreement between the timed run and the oracle
+        for rec, (step, want_nnz, _) in zip(results, native_stats):
+            assert rec.step == step and rec.nnz == want_nnz, (
+                f"A^{rec.step}: nnz {rec.nnz} != native {want_nnz}"
+            )
 
     if args.csv:
         import os

@@ -206,20 +206,30 @@ def run_chain_pallas(
 
     The whole A^2..A^max chain runs as ONE jitted program (single dispatch):
     each host sync through the remote-execution tunnel costs ~20-50 ms,
-    several times the 30^3 kernel step itself.  Per-step stats (nnz, max)
-    come from one untimed stats pass; the headline A^max step time is the
-    differential t(chain of k) - t(chain of k-1).  Timing inputs get a
-    per-iteration bump so neither the runtime's result cache nor XLA
-    loop-invariant motion can skip real work."""
+    several times the 30^3 kernel step itself.  Per-step stats (nnz, max,
+    exact expansion flops) come from one untimed stats pass; every step's
+    time is measured as a TRUE differential t(chain of s) - t(chain of s-1)
+    — the reference reports genuine per-k times (README.md:39-46) and so
+    does this.  Timing inputs get a per-iteration bump so neither the
+    runtime's result cache nor XLA loop-invariant motion can skip real
+    work."""
     from functools import partial as _partial
 
     from ..kernels import spmm_pallas as sp
 
-    cnt, cols, lrow, vals, _ = sp.tile_sparse_operand(
+    cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
         a, rows_per_tile=rows_per_tile
     )
     p0 = sp.to_row_planes(host_f32_dense(a))
     k = max_step - 1  # number of products in the chain
+
+    # A's per-row nnz laid out like a P row plane, for exact per-step flop
+    # counts: flops(P x A) = sum_k colnnz(P)[k] * row_nnz_A[k]
+    s_planes = meta["s_planes"]
+    rnz_np = np.zeros((s_planes * 128,), np.float32)
+    rp_host = np.asarray(jax.device_get(a.row_ptr))
+    rnz_np[: a.n_rows] = np.diff(rp_host)
+    rnz_planes = jnp.asarray(rnz_np.reshape(s_planes, 128))
 
     def _step(p):
         return sp.spmm_pallas(cnt, cols, lrow, vals, p,
@@ -229,16 +239,21 @@ def run_chain_pallas(
     def stats_chain(p, steps: int):
         maxes = jnp.zeros((steps,), jnp.float32)
         nnzs = jnp.zeros((steps,), jnp.int32)
+        flops = jnp.zeros((steps,), jnp.float32)
 
         def body(i, carry):
-            p, maxes, nnzs = carry
+            p, maxes, nnzs, flops = carry
+            colnnz = jnp.sum((p != 0).astype(jnp.float32), axis=0)  # (S,128)
+            flops = flops.at[i].set(jnp.sum(colnnz * rnz_planes))
             c = _step(p)
             maxes = maxes.at[i].set(jnp.max(c))
             nnzs = nnzs.at[i].set(jnp.count_nonzero(c).astype(jnp.int32))
-            return (c, maxes, nnzs)
+            return (c, maxes, nnzs, flops)
 
-        _, maxes, nnzs = jax.lax.fori_loop(0, steps, body, (p, maxes, nnzs))
-        return maxes, nnzs
+        _, maxes, nnzs, flops = jax.lax.fori_loop(
+            0, steps, body, (p, maxes, nnzs, flops)
+        )
+        return maxes, nnzs, flops
 
     @_partial(jax.jit, static_argnames=("steps",))
     def timed_chain(p, bump, steps: int):
@@ -250,11 +265,15 @@ def run_chain_pallas(
         p = jax.lax.fori_loop(0, steps, lambda i, q: _step(q), p)
         return p[0, 0, 0]
 
-    maxes, nnzs = map(np.asarray, map(jax.device_get, stats_chain(p0, k)))
+    maxes, nnzs, flops = map(
+        np.asarray, map(jax.device_get, stats_chain(p0, k))
+    )
     if float(maxes.max()) >= float(1 << 24) - 8:
         raise OverflowError("pallas chain exceeded f32 exact range")
 
     def _time(steps):
+        if steps == 0:
+            return 0.0
         float(timed_chain(p0, 0.0, steps))  # compile + warm
         best = float("inf")
         for it in range(iters):
@@ -263,28 +282,102 @@ def run_chain_pallas(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_full = _time(k)
-    t_base = _time(k - 1) if k > 1 else 0.0
-    t_last = max(t_full - t_base, 1e-9)
-    t_per_step = t_full / k
+    # per-step differentials: time chains of length 1..k, subtract.
+    # k extra timed chains cost seconds of TPU time and make every row a
+    # real measurement instead of a flat average.
+    prefix = [_time(s) for s in range(k + 1)]
 
     results: List[ChainStep] = []
     for idx in range(k):
         step = idx + 2
-        # the repeat-differential timing applies to the final (heaviest)
-        # step; earlier steps share one dispatch, so report the average
-        dt = t_last if step == max_step else t_per_step
+        dt = max(prefix[idx + 1] - prefix[idx], 1e-9)
         nnz = int(nnzs[idx])
-        rec = ChainStep(step=step, nnz=nnz, flops=0, seconds=dt,
-                        nnz_per_s=nnz / dt, gflops=0.0)
+        fl = int(flops[idx])
+        rec = ChainStep(step=step, nnz=nnz, flops=fl, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=2.0 * fl / dt / 1e9)
         results.append(rec)
         if verbose:
             print(
-                f"A^{step} [pallas]: nnz={nnz} time={dt*1e3:.2f}ms "
-                f"nnz/s={rec.nnz_per_s/1e6:.1f}M max={maxes[idx]:.0f}",
+                f"A^{step} [pallas]: nnz={nnz} flops={fl} time={dt*1e3:.2f}ms "
+                f"nnz/s={rec.nnz_per_s/1e6:.1f}M gflops={rec.gflops:.2f} "
+                f"max={maxes[idx]:.0f}",
                 flush=True,
             )
     return results
+
+
+def native_chain_stats(a: SparseCSR, max_step: int = 7):
+    """Run the A^2..A^max chain on the native C++ oracle (exact u64
+    saturating semiring) and return per-step stats plus the final CSR.
+
+    The reference's discipline is agreement-then-time
+    (src/graph_magnus.rs:751-753); this provides the agreement half for the
+    full measured scale (30^3, 11.7M nnz — seconds of host time), not just
+    the small CPU test graphs.
+    """
+    from .. import native
+
+    row_ptr, col_idx, vals = a.to_numpy()
+    base = native.as_host_csr(row_ptr.astype(np.int64), col_idx, vals)
+    n = a.n_rows
+    stats = []  # (step, nnz, max_value)
+    prev = base
+    for step in range(2, max_step + 1):
+        prev = native.spgemm(prev, base, n)
+        crp, cc, cv = prev
+        stats.append((step, int(crp[-1]), int(cv.max()) if len(cv) else 0))
+    return stats, prev
+
+
+def chain_final_pallas(a: SparseCSR, max_step: int = 7,
+                       rows_per_tile: int = 8):
+    """One un-timed pallas chain pass; returns the final product P (device,
+    row-plane layout) for agreement checks against the native oracle."""
+    from functools import partial as _partial
+
+    from ..kernels import spmm_pallas as sp
+
+    cnt, cols, lrow, vals, _ = sp.tile_sparse_operand(
+        a, rows_per_tile=rows_per_tile
+    )
+    p0 = sp.to_row_planes(host_f32_dense(a))
+    k = max_step - 1
+
+    @_partial(jax.jit, static_argnames=("steps",))
+    def chain(p, steps: int):
+        return jax.lax.fori_loop(
+            0, steps,
+            lambda i, q: sp.spmm_pallas(cnt, cols, lrow, vals, q,
+                                        rows_per_tile=rows_per_tile),
+            p,
+        )
+
+    return chain(p0, k)
+
+
+def verify_chain_against_native(a: SparseCSR, max_step: int = 7,
+                                sample_rows: int = 128) -> list:
+    """Assert the pallas chain agrees with the native oracle at full scale:
+    per-step nnz handled by the caller via the returned stats; here the
+    final step gets nnz + max + an exact value check on ``sample_rows``
+    leading rows.  Returns the native per-step stats for caller use."""
+    stats, (crp, cc, cv) = native_chain_stats(a, max_step)
+    p = chain_final_pallas(a, max_step)
+    dev_nnz = int(jax.device_get(jnp.count_nonzero(p)))
+    dev_max = float(jax.device_get(jnp.max(p)))
+    _, want_nnz, want_max = stats[-1]
+    assert dev_nnz == want_nnz, (dev_nnz, want_nnz)
+    assert int(dev_max) == want_max, (dev_max, want_max)
+    m = min(sample_rows, a.n_rows)
+    got = np.asarray(jax.device_get(p[:m])).reshape(m, -1)[:, : a.n_cols]
+    want = np.zeros((m, a.n_cols), np.float64)
+    for r in range(m):
+        s, e = int(crp[r]), int(crp[r + 1])
+        want[r, cc[s:e]] = cv[s:e].astype(np.float64)
+    assert np.array_equal(got.astype(np.float64), want), (
+        "pallas chain values disagree with native oracle in leading rows"
+    )
+    return stats
 
 
 def host_f32_dense(a: SparseCSR) -> np.ndarray:

@@ -55,7 +55,6 @@ def measure_scaling(a: SparseCSR, device_counts=(1, 2, 4, 8), steps: int = 2,
             jax.device_get(dist.symbolic_flops_sharded(s, a, mesh=mesh))
         ).astype(np.float64)
         imbalance = float(flops.max() / max(flops.mean(), 1.0))
-        cap = 1 << (max(int(flops.max()), 1) - 1).bit_length()
 
         def run_chain():
             cur = s
@@ -78,10 +77,11 @@ def measure_scaling(a: SparseCSR, device_counts=(1, 2, 4, 8), steps: int = 2,
         dt = min(times)
         if t1 is None:
             t1 = dt
-        eff = t1 / (dt * nd) * nd if nd == 1 else t1 / dt / 1.0
-        # on shared-core virtual meshes, efficiency ~ t1/t(n); on real pods
-        # each device has its own cores and this becomes t1/(t(n)) with
-        # per-device throughput constant
+        # parallel efficiency t(1) / (t(n) * n): 1.0 = perfect scaling.
+        # On the shared-core virtual mesh all n devices time-slice one CPU,
+        # so this reads ~1/n there; it is only meaningful on real multi-chip
+        # hardware (work_imbalance is the hardware-independent column).
+        eff = t1 / (dt * nd)
         pt = ScalePoint(
             devices=nd, seconds=dt, nnz_per_s=nnz / dt,
             efficiency=eff, work_imbalance=imbalance,

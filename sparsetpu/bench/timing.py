@@ -32,8 +32,10 @@ def fused_loop_time(make_step: Callable, reps: int = 16, iters: int = 3) -> floa
     def run(bump0):
         def body(i, acc):
             probe = make_step(bump0 + i.astype(jnp.float32))
-            # 0 * probe keeps the data dependency without growing values
-            return acc + 0.0 * probe
+            # accumulate the probe directly: `0.0 * probe` invites constant
+            # folding (and with fast-math, DCE of the whole step).  Overflow
+            # to inf is harmless — only the data dependence matters.
+            return acc + probe
 
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 

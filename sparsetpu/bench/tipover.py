@@ -61,7 +61,7 @@ def _time(fn, iters: int = 3) -> float:
     return best
 
 
-def dense_baseline(shape, iters: int = 3, reps: int = 8) -> float:
+def dense_baseline(shape, iters: int = 3, reps: int = 64) -> float:
     from .timing import fused_loop_time
 
     rng = np.random.default_rng(0)
@@ -78,15 +78,18 @@ def dense_baseline(shape, iters: int = 3, reps: int = 8) -> float:
 
 def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
                  max_flops: int = 1 << 27, per_decade: int = 4,
-                 verbose: bool = True) -> str:
+                 reps: int = 64, verbose: bool = True) -> str:
     """One GPT config: dense baseline + density sweep. Returns CSV text.
 
     ``per_decade`` controls the log-density grid (the reference uses 4;
     every distinct step shape costs a fresh XLA compile, so remote-compile
-    rigs want 2)."""
+    rigs want 2).  ``reps`` fuses that many repetitions per timed dispatch:
+    against a ~20-50 ms tunnel sync, reps=64 puts the measurement floor at
+    ~0.5 ms/rep — well below the dense baseline — where reps=4 floors at
+    5-12 ms and drowns microsecond kernels."""
     shape = config_shape(cfg)
     n_weights = int(np.prod(shape))
-    dense_t = dense_baseline(shape)
+    dense_t = dense_baseline(shape, iters=iters, reps=reps)
     out = [f"ref_time={dense_t*1e6:.0f} µs blas_time={dense_t*1e6:.0f} µs "
            f"n_weights={n_weights} total_mem={3*n_weights*4}"]
     header = "esc,density,q_nz,k_nz,v_nz,mem_k,mem_q,mem_v,attn_time,gen_time,attn_dry"
@@ -118,12 +121,20 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         from .timing import fused_loop_time
 
         def dry_step(bump):
-            q2 = dataclasses.replace(
-                q_csr, values=(q_csr.values[0] + bump * 1e-30,)
-            )
+            # symbolic_flops reads only structure (col_idx / row_ptr / nnz),
+            # so a value perturbation would be DCE'd and the probe hoisted
+            # out of the timing loop.  Instead perturb col_idx by a
+            # runtime-zero term derived from bump: the flop count gathers
+            # through col_idx, so the probe is live and loop-variant.
+            zero_i32 = (bump * 1e-30).astype(jnp.int32)
+            q2 = dataclasses.replace(q_csr, col_idx=q_csr.col_idx + zero_i32)
             return symbolic_flops(q2, kt_csr).astype(jnp.float32)
 
-        dry = fused_loop_time(dry_step, reps=4, iters=iters)
+        # adaptive reps: low-density steps run tiny ESC programs, so fuse
+        # more of them per dispatch — the floor scales as sync_cost / reps
+        step_reps = int(min(1024, max(reps, (1 << 24) // max(cap, 1))))
+
+        dry = fused_loop_time(dry_step, reps=step_reps, iters=iters)
         c = spgemm(q_csr, kt_csr, cap)
 
         def attn_step(bump):
@@ -133,7 +144,7 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
             out = spgemm(q2, kt_csr, cap)
             return out.values[0][0]
 
-        attn = fused_loop_time(attn_step, reps=4, iters=iters)
+        attn = fused_loop_time(attn_step, reps=step_reps, iters=iters)
         v_nz = int(c.nnz)
         row = (
             f"esc,{density:.4f},{q_nz},{k_nz},{v_nz},"
@@ -178,6 +189,7 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=2)
     parser.add_argument("--max-flops", type=int, default=1 << 27)
     parser.add_argument("--per-decade", type=int, default=4)
+    parser.add_argument("--reps", type=int, default=64)
     args = parser.parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)
     for ci in args.configs:
@@ -185,7 +197,7 @@ def main(argv=None):
         print(f"# config {ci}: batch={cfg[0]} seq={cfg[1]} heads={cfg[2]} "
               f"emb={cfg[3]}", flush=True)
         csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops,
-                           per_decade=args.per_decade)
+                           per_decade=args.per_decade, reps=args.reps)
         path = os.path.join(args.out_dir, f"tipover_results_{ci}.csv")
         with open(path, "w") as f:
             f.write(csv)

@@ -130,6 +130,7 @@ def spgemm_panels(a: ShardedCSR, b: ShardedCSR, step_cap: int,
 
         i_parts, j_parts, v_parts, ok_parts = [], [], [], []
         total = jnp.int32(0)
+        flops_ok = jnp.bool_(True)
         for step in range(nd):
             src_shard = jnp.mod(my + step, nd)  # whose panel we hold now
             panel_base = src_shard.astype(jnp.int32) * jnp.int32(nlb)
@@ -142,6 +143,11 @@ def spgemm_panels(a: ShardedCSR, b: ShardedCSR, step_cap: int,
             v_parts.append(v)
             ok_parts.append(ok)
             total = total + t
+            # products are dropped PER ring step when that step's expansion
+            # exceeds step_cap, so overflow must be tracked per step — an
+            # aggregate total <= nd * step_cap check would let a device with
+            # one step over cap and others under it pass silently
+            flops_ok = flops_ok & (t <= step_cap)
             if step + 1 < nd:
                 # rotate panels: device d's panel goes to d-1, so after
                 # `step` rotations device d holds panel (d + step) % nd.
@@ -164,7 +170,6 @@ def spgemm_panels(a: ShardedCSR, b: ShardedCSR, step_cap: int,
             valid=ok_all,
         )
         # step_cap overflow drops products: poison like ops/spgemm.spgemm
-        flops_ok = total <= nd * step_cap
         cnnz = jnp.where(flops_ok, c.nnz, -1).astype(jnp.int32)
         return (
             c.row_ptr[None], c.col_idx[None],

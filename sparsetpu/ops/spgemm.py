@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..csr import SparseCSR
 from ..semiring import by_name
@@ -35,13 +36,35 @@ def symbolic_flops(a: SparseCSR, b: SparseCSR) -> jnp.ndarray:
     """Number of partial products in A x B (upper bound on nnz(C)).
 
     Mirrors the reference symbolic pass role (src/graph_csr.rs:363-403) but
-    as a single gather+sum; int64-safe via two-limb accumulation is not
-    needed below 2^31 products, which covers all baseline configs.
+    as a single gather+sum.  Device int32 scalar: exact below 2^31 products
+    (any larger expansion cannot be materialized anyway); use
+    :func:`symbolic_flops_exact` when the true count may exceed int32.
     """
     valid = jnp.arange(a.capacity) < a.nnz
     col = jnp.clip(a.col_idx, 0, b.n_rows - 1)
     counts = jnp.where(valid, b.row_nnz()[col], 0)
     return jnp.sum(counts)
+
+
+@jax.jit
+def _symbolic_flops_parts(a: SparseCSR, b: SparseCSR) -> jnp.ndarray:
+    """Chunked partial sums of the per-entry product counts; each partial
+    stays < 2^31 (chunk of 32 counts, each < n_rows(B) <= 2^26), so the
+    host can combine them exactly in int64."""
+    valid = jnp.arange(a.capacity) < a.nnz
+    col = jnp.clip(a.col_idx, 0, b.n_rows - 1)
+    counts = jnp.where(valid, b.row_nnz()[col], 0).astype(jnp.int32)
+    pad = (-counts.shape[0]) % 32
+    counts = jnp.pad(counts, (0, pad))
+    return jnp.sum(counts.reshape(-1, 32), axis=1)
+
+
+def symbolic_flops_exact(a: SparseCSR, b: SparseCSR) -> int:
+    """Exact host-side flop count — immune to the int32 wrap a single
+    device-side sum suffers at >= 2^31 products (where a wrapped value
+    would silently under-size the expansion capacity)."""
+    parts = np.asarray(jax.device_get(_symbolic_flops_parts(a, b)))
+    return int(parts.astype(np.int64).sum())
 
 
 def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
@@ -109,7 +132,12 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True) -> Spars
     then runs the jitted numeric pass.  This is the two-pass symbolic+numeric
     structure of the reference (src/graph_csr.rs:350-484) adapted to XLA's
     static-shape model."""
-    flops = int(symbolic_flops(a, b))
+    flops = symbolic_flops_exact(a, b)
+    if flops >= 1 << 31:
+        raise ValueError(
+            f"spgemm expansion of {flops} products cannot be materialized "
+            "(int32 indexing / HBM); split the product or use a dense path"
+        )
     cap = max(flops, 1)
     if round_to_pow2:
         cap = 1 << (cap - 1).bit_length()

@@ -45,3 +45,42 @@ def test_sharded_band_chain_matches_single(mesh8):
     )
     # result slab stays sharded over the mesh
     assert len(c_sh2.data.sharding.device_set) == 8
+
+
+def test_sharded_band_noncyclic_matches_single(mesh8):
+    # non-cyclic band: exercises the clip/valid row_offset path in
+    # _band_matmul_data (no wraparound blocks)
+    coo = generate.lattice([64], torus=False)
+    rows, cols, vals, n = coo
+    a = SparseCSR.from_coo(rows, cols, vals, n, sr=U64)
+    band, out = bandmm.csr_band_split(a, half_width=7, block=8, cyclic=False)
+    assert int(out.nnz) == 0
+
+    single = bandmm.band_matmul(band, band)
+    p_sh = dband.shard_band(band, mesh=mesh8)
+    c_sh = dband.band_matmul_sharded(p_sh, band, mesh=mesh8)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(c_sh.data)),
+        np.asarray(jax.device_get(single.data)),
+    )
+
+
+def test_sharded_band_fold_cyclic_matches_single(mesh8):
+    # small nb with wide band: product width kbc = 2*(wbp+wba)+1 exceeds nb,
+    # so fold_cyclic runs per shard; result must still match single-device
+    coo = generate.lattice([4, 4, 4], torus=True)
+    rows, cols, vals, n = coo
+    a = SparseCSR.from_coo(rows, cols, vals, n, sr=U64)
+    band, out = bandmm.csr_band_split(a, half_width=21, block=8, cyclic=True)
+    assert int(out.nnz) == 0
+    wbc = 2 * band.half_width_blocks
+    assert 2 * wbc + 1 > band.nb  # fold actually triggers in the product
+
+    single = bandmm.band_matmul(band, band)
+    assert single.half_width_blocks == 0  # folded to a full block-circulant
+    p_sh = dband.shard_band(band, mesh=mesh8)
+    c_sh = dband.band_matmul_sharded(p_sh, band, mesh=mesh8)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(c_sh.data)),
+        np.asarray(jax.device_get(single.data)),
+    )

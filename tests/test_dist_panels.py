@@ -87,3 +87,27 @@ def test_panel_step_cap_overflow_poisons(mesh8):
     c = panels.spgemm_panels(s, sb, step_cap=1, mesh=mesh8)
     with pytest.raises(ValueError):
         dist.unshard(c)
+
+
+def test_panel_per_step_overflow_poisons(mesh8):
+    """One ring step over step_cap must poison even when the aggregate
+    total stays under nd * step_cap (products are dropped per step)."""
+    # B: all entries in panel 0 (rows 0..1); A: every row points at col 0.
+    # Each device's expansion is concentrated in its single panel-0 step.
+    n = 16
+    rb = np.array([0, 0, 0, 1, 1, 1])
+    cb = np.array([2, 5, 9, 3, 7, 11])
+    b = SparseCSR.from_coo(rb, cb, np.ones(6, np.uint64), n, sr=U64)
+    ra = np.arange(n)
+    ca = np.zeros(n, np.int64)
+    a = SparseCSR.from_coo(ra, ca, np.ones(n, np.uint64), n, sr=U64)
+    s = dist.shard(a, 8, mesh=mesh8)
+    sb = dist.shard(b, 8, mesh=mesh8)
+    per_panel = np.asarray(
+        jax.device_get(panels.symbolic_flops_panels(s, sb, mesh=mesh8))
+    )
+    step_cap = int(per_panel.max()) - 1          # one step over cap...
+    assert per_panel.sum(axis=1).max() <= 8 * step_cap  # ...aggregate under
+    c = panels.spgemm_panels(s, sb, step_cap=step_cap, mesh=mesh8)
+    with pytest.raises(ValueError):
+        dist.unshard(c)

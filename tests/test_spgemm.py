@@ -198,3 +198,12 @@ class TestChooseStrategy:
 
         a = SparseCSR.from_coo_host([0, 1], [1, 0], [1 << 40, 1], 4, sr=U64)
         assert choose_strategy(a) == "esc"
+
+
+def test_symbolic_flops_exact_matches_device():
+    from sparsetpu.ops.spgemm import symbolic_flops, symbolic_flops_exact
+
+    coo = generate.random_graph(50, 300, seed=9)
+    rows, cols, vals, n = coo
+    a = SparseCSR.from_coo(rows, cols, vals, n, sr=U64)
+    assert symbolic_flops_exact(a, a) == int(symbolic_flops(a, a))
