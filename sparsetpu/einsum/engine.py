@@ -62,12 +62,19 @@ def _operand_info(op: Operand, sr: Semiring):
 
 
 def einsum(spec: str, operands: Sequence[Operand], sr: Semiring = F32SR,
-           out_caps: Optional[Sequence[int]] = None):
+           out_caps: Optional[Sequence[int]] = None,
+           out_format: str = "dense"):
     """Evaluate `spec` over `operands` on semiring `sr`.
 
-    Returns a list of dense outputs (one per output spec); each output is a
-    single array for 1-limb semirings, else a limb tuple.
+    ``out_format="dense"`` (default) returns dense outputs (a single array
+    for 1-limb semirings, else a limb tuple).  ``out_format="sparse"``
+    returns a :class:`SparseCSR` per 2-D output — when the plan lowers to
+    sparse kernels the result never densifies (the reference VM keeps
+    sparse structure through SparseRowLoops, linalg/src/einsum.rs:591-626;
+    here the analog is carrying CSR through the pairwise-SpGEMM chain).
     """
+    if out_format not in ("dense", "sparse"):
+        raise ValueError(f"out_format must be dense|sparse, got {out_format}")
     parsed = parse_spec(spec)
     infos = [_operand_info(op, sr) for op in operands]
     shapes = [i[1] for i in infos]
@@ -75,23 +82,51 @@ def einsum(spec: str, operands: Sequence[Operand], sr: Semiring = F32SR,
 
     results = []
     for out in parsed.outputs:
-        results.append(_einsum_single(parsed, out, operands, infos, dims, sr))
+        results.append(
+            _einsum_single(parsed, out, operands, infos, dims, sr, out_format)
+        )
     return results
 
 
 def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
-                   dims: Dict[str, int], sr: Semiring):
+                   dims: Dict[str, int], sr: Semiring, out_format: str):
     lowered = _try_grouped_matmul(parsed, out, operands, infos, dims, sr)
     if lowered is not None:
         return lowered
-    lowered = _try_sparse_matmul(parsed, out, operands, infos, dims, sr)
+    lowered = _try_sparse_chain(parsed, out, operands, infos, dims, sr,
+                                out_format)
     if lowered is not None:
         return lowered
     if sr.name == "f32" and all(i[0] == "dense" for i in infos):
         arrs = [i[2][0] for i in infos]
         sub = ",".join("".join(i) for i in parsed.inputs) + "->" + "".join(out)
-        return jnp.einsum(sub, *arrs, preferred_element_type=jnp.float32)
-    return _fallback_loop_nest(parsed, out, operands, infos, dims, sr)
+        dense = jnp.einsum(sub, *arrs, preferred_element_type=jnp.float32)
+        return _pack_output(dense if sr.nlimbs == 1 else (dense,), out, dims,
+                            sr, out_format)
+    dense = _fallback_loop_nest(parsed, out, operands, infos, dims, sr)
+    return _pack_output(dense, out, dims, sr, out_format)
+
+
+def _pack_output(dense, out, dims, sr: Semiring, out_format: str):
+    """Convert a dense result to the requested output format."""
+    if out_format == "dense":
+        return dense
+    if len(out) != 2:
+        raise InvalidSpec(
+            "Unsupported",
+            f"sparse output requires a 2-D output, got {len(out)} axes",
+        )
+    limbs = dense if isinstance(dense, tuple) else (dense,)
+    arrs = [np.asarray(jax.device_get(l)) for l in limbs]
+    mask = np.zeros(arrs[0].shape, bool)
+    for a in arrs:
+        mask |= a != 0
+    r, c = np.nonzero(mask)
+    vals = tuple(jnp.asarray(a[r, c]) for a in arrs)
+    return SparseCSR.from_coo_device(
+        jnp.asarray(r, jnp.int32), jnp.asarray(c, jnp.int32), vals,
+        arrs[0].shape[0], arrs[0].shape[1], sr, max(len(r), 1),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -119,48 +154,129 @@ def _try_grouped_matmul(parsed, out, operands, infos, dims, sr):
     if len({a_ix[0], a_ix[1], a_ix[2], b_ix[2]}) != 4:
         return None
     c = operands[0].matmul(operands[1])
-    # block-diag flat dense -> (g, n, m)
-    flat = c.flat.to_dense()
-    g, n, m = c.g, c.n, c.m
-    gi = jnp.arange(g)[:, None, None]
-    ri = jnp.arange(n)[None, :, None]
-    ci = jnp.arange(m)[None, None, :]
-    dense = tuple(l[gi * n + ri, gi * m + ci] for l in flat)
+    dense = _grouped_to_dense(c)
     return dense if sr.nlimbs > 1 else dense[0]
 
 
+def _grouped_to_dense(c) -> tuple:
+    """GroupedCSR -> (g, n, m) dense limb tuple via an nnz-sized scatter.
+
+    The round-1 version materialized the block-diagonal flat product as a
+    dense (g*n, g*m) matrix first — quadratic in g (attention shapes
+    g=16384, h=12 would need ~154 GB).  Extracting per-group blocks
+    directly from the flat CSR costs O(nnz)."""
+    flat = c.flat
+    g, n, m = c.g, c.n, c.m
+    valid = jnp.arange(flat.capacity) < flat.nnz
+    row = flat.row_of_slot()
+    col = flat.col_idx
+    gi = jnp.where(valid, row // n, g)  # out-of-range -> dropped
+    ri = jnp.where(valid, row % n, 0)
+    ci = jnp.where(valid, col - (row // n) * m, 0)
+    ok = valid & (ci >= 0) & (ci < m)
+    gi = jnp.where(ok, gi, g)
+    outs = []
+    for limb in flat.values:
+        d = jnp.zeros((g, n, m), limb.dtype)
+        outs.append(
+            d.at[gi, ri, jnp.clip(ci, 0, m - 1)].add(
+                jnp.where(ok, limb, 0), mode="drop"
+            )
+        )
+    return tuple(outs)
+
+
 # ---------------------------------------------------------------------------
-# tier 1: sparse matmul patterns
+# tier 1: matmul-chain planner (N >= 2 two-dimensional operands)
 # ---------------------------------------------------------------------------
 
-def _try_sparse_matmul(parsed, out, operands, infos, dims, sr):
-    """Recognize ``ab,bc->ac``-shaped specs (any letter names; one shared
-    contracted index; both operands 2-D; at least one sparse) and lower to
-    the ESC SpGEMM kernel, densifying the result."""
-    if len(parsed.inputs) != 2 or len(out) != 2:
+def _try_sparse_chain(parsed, out, operands, infos, dims, sr,
+                      out_format: str = "dense"):
+    """Greedy pairwise-contraction planner for matmul-shaped specs over any
+    number of 2-D operands — ``ab,bc->ac``, ``ab,bc,cd->ad``,
+    ``ab,bc,cd,de->ae``, transposed variants, etc.
+
+    The reference's greedy VM scheduler picks one sparse-drivable loop at a
+    time (linalg/src/einsum.rs:327-389); the TPU analog picks one pairwise
+    SpGEMM at a time: contract any two operands sharing exactly one letter
+    that appears nowhere else, keep the intermediate as CSR (never
+    densified — the round-1 engine fell back to a densifying loop nest for
+    every >= 2-operand sparse spec), repeat until one operand remains.
+    """
+    if len(out) != 2 or len(set(out)) != 2:
         return None
-    a_ix, b_ix = parsed.inputs
-    if len(a_ix) != 2 or len(b_ix) != 2:
+    if any(len(ix) != 2 or len(set(ix)) != 2 for ix in parsed.inputs):
         return None
-    if len(set(a_ix)) != 2 or len(set(b_ix)) != 2:
+    if len(parsed.inputs) < 2 or not any(i[0] == "sparse" for i in infos):
         return None
-    if not any(i[0] == "sparse" for i in infos):
+
+    # letters: each contracted letter must appear in exactly 2 inputs and
+    # not in the output; output letters in exactly 1 input
+    occ: Dict[str, int] = {}
+    for ix in parsed.inputs:
+        for ch in ix:
+            occ[ch] = occ.get(ch, 0) + 1
+    for ch, cnt in occ.items():
+        if ch in out and cnt != 1:
+            return None
+        if ch not in out and cnt != 2:
+            return None
+    if any(ch not in occ for ch in out):
         return None
-    # match (i k),(k j)->(i j) with optional transposes
-    candidates = []
-    for a_swap in (False, True):
-        ai = a_ix[::-1] if a_swap else a_ix
-        for b_swap in (False, True):
-            bi = b_ix[::-1] if b_swap else b_ix
-            if ai[1] == bi[0] and (ai[0], bi[1]) == tuple(out) and ai[0] != bi[1]:
-                candidates.append((a_swap, b_swap))
-    if not candidates:
+
+    items = [
+        [tuple(ix), op, info, None]  # letters, raw op, info, csr cache
+        for ix, op, info in zip(parsed.inputs, operands, infos)
+    ]
+
+    def as_csr(item, transpose: bool) -> SparseCSR:
+        if item[3] is None:
+            item[3] = (
+                item[1] if isinstance(item[1], SparseCSR)
+                else _as_csr(item[1], item[2], sr, transpose=False)
+            )
+        return item[3].transpose() if transpose else item[3]
+
+    while len(items) > 1:
+        found = None
+        for ia in range(len(items)):
+            for ib in range(ia + 1, len(items)):
+                shared = set(items[ia][0]) & set(items[ib][0])
+                if len(shared) != 1:
+                    continue
+                k = next(iter(shared))
+                if k in out:
+                    continue
+                a_l, b_l = items[ia][0], items[ib][0]
+                x = a_l[0] if a_l[1] == k else a_l[1]
+                y = b_l[0] if b_l[1] == k else b_l[1]
+                if x == y:
+                    continue
+                found = (ia, ib, k, x, y)
+                break
+            if found:
+                break
+        if not found:
+            return None
+        ia, ib, k, x, y = found
+        a = as_csr(items[ia], transpose=items[ia][0][0] == k)
+        b = as_csr(items[ib], transpose=items[ib][0][1] == k)
+        from ..ops.spgemm import symbolic_flops_exact
+
+        flops = symbolic_flops_exact(a, b)
+        c = spgemm(a, b, _pow2(flops)).check()
+        new_item = [(x, y), c, ("sparse", c.shape, None), c]
+        items = [it for j, it in enumerate(items) if j not in (ia, ib)]
+        items.append(new_item)
+
+    letters = items[0][0]
+    c = as_csr(items[0], transpose=False)
+    if letters == tuple(out)[::-1]:
+        c = c.transpose()
+    elif letters != tuple(out):
         return None
-    a_swap, b_swap = candidates[0]
-    a = _as_csr(operands[0], infos[0], sr, transpose=a_swap)
-    b = _as_csr(operands[1], infos[1], sr, transpose=b_swap)
-    flops = int(symbolic_flops(a, b))
-    c = spgemm(a, b, _pow2(flops))
+    if out_format == "sparse":
+        return c
     dense = c.to_dense()
     return dense if sr.nlimbs > 1 else dense[0]
 
@@ -193,12 +309,7 @@ def _densify(op, info, sr: Semiring):
     from ..grouped import GroupedCSR
 
     if isinstance(op, GroupedCSR):
-        flat = op.flat.to_dense()
-        g, n, m = op.shape
-        gi = jnp.arange(g)[:, None, None]
-        ri = jnp.arange(n)[None, :, None]
-        ci = jnp.arange(m)[None, None, :]
-        return tuple(l[gi * n + ri, gi * m + ci] for l in flat)
+        return _grouped_to_dense(op)
     if isinstance(op, SparseCSR):
         return op.to_dense()
     return info[2]

@@ -132,3 +132,16 @@ def test_bench_scaling_efficiency():
     assert len(results) == 4
     # row blocks of a homogeneous torus stay balanced
     assert all(r.work_imbalance < 1.5 for r in results)
+
+
+def test_engine_bench_smoke():
+    """Engine-overhead bench (reference perf.rs / einsum_bench role) runs
+    and emits the CSV schema."""
+    from sparsetpu.bench import engine_bench
+
+    csv = engine_bench.run(n=32, nnz_per_row=2, reps=2, iters=1,
+                           verbose=False)
+    lines = csv.strip().split("\n")
+    assert lines[0] == "case,impl,seconds,slowdown_vs_direct"
+    assert any(l.startswith("spgemm_") for l in lines)
+    assert any(l.startswith("chain3_") for l in lines)

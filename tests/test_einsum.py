@@ -222,3 +222,81 @@ def test_differential_sweep_long():
             np.testing.assert_array_equal(np.asarray(got_sp), want, err_msg=spec)
         n_checked += 1
     print(f"\nlong einsum sweep: {n_checked} specs checked bit-exact")
+
+
+class TestChainPlanner:
+    """>= 3-operand matmul chains lower through pairwise SpGEMM with sparse
+    intermediates (round-1 engine densified these through the loop-nest
+    fallback; reference scheduler: linalg/src/einsum.rs:327-389)."""
+
+    def _rand_csr(self, n, m, nnz, seed):
+        rng = np.random.default_rng(seed)
+        r = rng.integers(0, n, nnz)
+        c = rng.integers(0, m, nnz)
+        v = rng.integers(1, 5, nnz).astype(np.uint64)
+        return SparseCSR.from_coo(r, c, v, n, m, sr=U64)
+
+    def test_three_operand_chain(self):
+        a = self._rand_csr(6, 7, 12, 0)
+        b = self._rand_csr(7, 5, 10, 1)
+        c = self._rand_csr(5, 4, 9, 2)
+        (got,) = einsum("ab,bc,cd->ad", [a, b, c], sr=U64)
+        want = (a.to_dense_numpy().astype(object)
+                @ b.to_dense_numpy().astype(object)
+                @ c.to_dense_numpy().astype(object))
+        np.testing.assert_array_equal(
+            np.asarray(got[0]).astype(object)
+            + (np.asarray(got[1]).astype(object) << 32),
+            want,
+        )
+
+    def test_four_operand_chain_out_of_order(self):
+        mats = [self._rand_csr(5, 5, 8, s) for s in range(4)]
+        # shuffled operand order; planner must find the contraction chain
+        (got,) = einsum("cd,ab,de,bc->ae",
+                        [mats[2], mats[0], mats[3], mats[1]], sr=U64)
+        want = mats[0].to_dense_numpy().astype(object)
+        for m in mats[1:]:
+            want = want @ m.to_dense_numpy().astype(object)
+        np.testing.assert_array_equal(
+            np.asarray(got[0]).astype(object)
+            + (np.asarray(got[1]).astype(object) << 32),
+            want,
+        )
+
+    def test_chain_transposed_output(self):
+        a = self._rand_csr(4, 6, 8, 5)
+        b = self._rand_csr(6, 3, 7, 6)
+        (got,) = einsum("ab,bc->ca", [a, b], sr=U64)
+        want = (a.to_dense_numpy() @ b.to_dense_numpy()).T
+        np.testing.assert_array_equal(
+            np.asarray(got[0]) + (np.asarray(got[1]).astype(np.uint64) << 32),
+            want,
+        )
+
+    def test_sparse_output_format(self):
+        a = self._rand_csr(6, 7, 10, 7)
+        b = self._rand_csr(7, 5, 10, 8)
+        (got,) = einsum("ab,bc->ac", [a, b], sr=U64, out_format="sparse")
+        assert isinstance(got, SparseCSR)
+        want = a.to_dense_numpy() @ b.to_dense_numpy()
+        np.testing.assert_array_equal(got.to_dense_numpy(), want)
+
+    def test_sparse_output_from_dense_path(self):
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((4, 5)).astype(np.float32)
+        y = rng.standard_normal((5, 3)).astype(np.float32)
+        (got,) = einsum("ab,bc->ac", [x, y], sr=F32SR, out_format="sparse")
+        assert isinstance(got, SparseCSR)
+        np.testing.assert_allclose(got.to_dense_numpy(), x @ y, rtol=1e-6)
+
+    def test_chain_matches_fallback(self):
+        # specs the planner cannot take (shared letter in 3 operands) still
+        # work through the fallback — and must agree with np.einsum
+        rng = np.random.default_rng(11)
+        x = rng.integers(0, 3, (3, 4)).astype(np.float32)
+        y = rng.integers(0, 3, (4, 3)).astype(np.float32)
+        z = rng.integers(0, 3, (4, 2)).astype(np.float32)
+        (got,) = einsum("ab,ba,bc->ac", [x, y, z], sr=F32SR)
+        want = np.einsum("ab,ba,bc->ac", x, y, z)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
