@@ -27,13 +27,17 @@ def main():
                         help="skip the native-oracle agreement check "
                              "(reference discipline is agreement-then-time, "
                              "src/graph_magnus.rs:751-783)")
-    parser.add_argument("--algo", choices=["pallas", "dense", "band", "esc"],
+    parser.add_argument("--algo",
+                        choices=["auto", "pallas", "dense", "band", "esc",
+                                 "rowcat"],
                         default="pallas",
-                        help="pallas = DMA-ring dense-accumulator kernel "
-                             "(speed-of-light for the densifying torus chain); "
-                             "dense = XLA gather/segment-sum SpMM; band = "
-                             "block-band MXU kernel; esc = sort-based general "
-                             "kernel")
+                        help="auto = self-route via ops.hybrid.choose_strategy "
+                             "(the MagnusConfig role); pallas = DMA-ring "
+                             "dense-accumulator kernel (speed-of-light for "
+                             "the densifying torus chain); dense = XLA "
+                             "gather/segment-sum SpMM; band = block-band MXU "
+                             "kernel; esc = sort-based general kernel; "
+                             "rowcat = row-categorized batched kernel")
     args = parser.parse_args()
 
     import jax
@@ -44,7 +48,7 @@ def main():
 
     from sparsetpu.bench.chain import (
         build_torus, chain_csv, run_chain, run_chain_band, run_chain_dense,
-        run_chain_pallas,
+        run_chain_pallas, run_chain_rowcat,
     )
 
     dims = (12, 12, 12) if args.quick else (30, 30, 30)
@@ -52,6 +56,17 @@ def main():
     a = build_torus(dims=dims)
     print(f"built A: n={a.n_rows} nnz={int(a.nnz)} ({time.time()-t0:.1f}s)",
           file=sys.stderr, flush=True)
+
+    if args.algo == "auto":
+        # system self-routing (the MagnusConfig role): inspect the matrix
+        # and pick the kernel category for this chain
+        from sparsetpu.ops.hybrid import choose_strategy
+
+        strat = choose_strategy(a, steps=args.steps - 1)
+        args.algo = {"dense-acc": "pallas", "band": "band"}.get(strat,
+                                                                "rowcat")
+        print(f"choose_strategy -> {strat} (algo={args.algo})",
+              file=sys.stderr, flush=True)
 
     native_stats = None
     if args.algo == "pallas" and not args.no_verify:
@@ -68,6 +83,8 @@ def main():
 
     if args.algo == "pallas":
         results = run_chain_pallas(a, max_step=args.steps, iters=args.iters)
+    elif args.algo == "rowcat":
+        results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "dense":
         results = run_chain_dense(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "band":

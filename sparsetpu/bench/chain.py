@@ -306,6 +306,47 @@ def run_chain_pallas(
     return results
 
 
+def run_chain_rowcat(
+    a: SparseCSR,
+    max_step: int = 7,
+    iters: int = 3,
+    verbose: bool = True,
+) -> List[ChainStep]:
+    """Row-categorized chain: C_k = C_{k-1} x A through ops/rowcat.py —
+    the general sparse-output path (product stays CSR; the right category
+    kernel per row each step)."""
+    from ..ops.rowcat import spgemm_rowcat
+    from ..ops.spgemm import symbolic_flops_exact
+
+    results: List[ChainStep] = []
+    prev = a
+    for step in range(2, max_step + 1):
+        flops = symbolic_flops_exact(prev, a)
+        c = spgemm_rowcat(prev, a).check()
+        jax.block_until_ready(c.nnz)
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = spgemm_rowcat(prev, a)
+            jax.block_until_ready(out.nnz)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        nnz = int(c.nnz)
+        rec = ChainStep(
+            step=step, nnz=nnz, flops=flops, seconds=dt,
+            nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9,
+        )
+        results.append(rec)
+        if verbose:
+            print(
+                f"A^{step} [rowcat]: nnz={nnz} flops={flops} "
+                f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M",
+                flush=True,
+            )
+        prev = c
+    return results
+
+
 def native_chain_stats(a: SparseCSR, max_step: int = 7):
     """Run the A^2..A^max chain on the native C++ oracle (exact u64
     saturating semiring) and return per-step stats plus the final CSR.

@@ -152,6 +152,8 @@ def main(argv=None):
     ap.add_argument("--nnz-per-row", type=int, default=8)
     ap.add_argument("--out", default="bench_out/engine_bench.csv")
     args = ap.parse_args(argv)
+    from . import configure_cache
+    configure_cache()
     csv = run(n=args.n, nnz_per_row=args.nnz_per_row)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

@@ -1,0 +1,159 @@
+"""General-SpGEMM benchmark: ESC vs row-categorized vs library baseline.
+
+BASELINE configs 3-4 (random ER side x e/n grid; power-law skewed degrees)
+raced across the kernels that produce *sparse* outputs, with the reference
+discipline: nnz-agreement asserts before timing
+(src/graph_magnus.rs:859-881), then fused-loop timed dispatches.
+
+CSV schema: case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,mproducts_per_s
+(the repo analog of the reference bench_matmul_magnus CSV,
+src/graph_magnus.rs:790-929).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..csr import SparseCSR
+from ..graphs import datasets, generate
+from ..ops.rowcat import spgemm_rowcat
+from ..ops.spgemm import spgemm, symbolic_flops_exact
+from ..semiring import U64
+from .timing import fused_loop_time
+
+
+def _pow2(x: int) -> int:
+    return 1 << (max(int(x), 1) - 1).bit_length()
+
+
+def _time_esc(a: SparseCSR, cap: int, reps: int, iters: int) -> float:
+    spgemm(a, a, cap).check()
+
+    def step(bump):
+        a2 = dataclasses.replace(
+            a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
+        out = spgemm(a2, a, cap)
+        return out.values[0][0].astype(jnp.float32)
+
+    return fused_loop_time(step, reps=reps, iters=iters)
+
+
+def _time_rowcat(a: SparseCSR, reps: int, iters: int) -> float:
+    """Times the jitted per-category numeric + assembly passes; the tiny
+    plan-stats fetch happens per call on the host exactly as in real use,
+    so it is timed too (per-dispatch, not fused — rowcat is a host-driven
+    two-pass kernel)."""
+    spgemm_rowcat(a, a).check()  # warm every category jit
+    best = float("inf")
+    for _ in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        for _ in range(max(reps // 4, 1)):
+            out = spgemm_rowcat(a, a)
+            jax.block_until_ready(out.nnz)
+        best = min(best, (time.perf_counter() - t0) / max(reps // 4, 1))
+    return best
+
+
+def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
+    """Library baseline column (jax.experimental.sparse); times only the
+    jitted sparse-sparse dot, structure prep excluded."""
+    try:
+        from jax.experimental import sparse as jsparse
+
+        from ..utils.bcoo import csr_to_bcoo
+
+        am = csr_to_bcoo(a)
+
+        @jax.jit
+        def mm(data):
+            m = jsparse.BCOO((data, am.indices), shape=am.shape)
+            c = jsparse.bcoo_dot_general(
+                m, m, dimension_numbers=(((1,), (0,)), ((), ())))
+            return c.data[0]
+
+        def step(bump):
+            return mm(am.data + bump * 1e-30)
+
+        return fused_loop_time(step, reps=max(reps // 4, 1), iters=iters)
+    except Exception as e:  # library path may not lower on all backends
+        print(f"# bcoo skipped: {type(e).__name__}: {e}", flush=True)
+        return None
+
+
+def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
+        power_law_sides=(27000,), algos=("esc", "rowcat"),
+        reps: int = 16, iters: int = 2, verbose: bool = True) -> str:
+    rows: List[str] = ["case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,"
+                       "mproducts_per_s"]
+    if verbose:
+        print(rows[0], flush=True)
+
+    cases: List[Tuple[str, int, int, tuple]] = []
+    for n in sides:
+        for epn in e_per_n:
+            cases.append(("er", n, epn,
+                          generate.random_graph(n, n * epn, seed=n + epn)))
+    for n in power_law_sides:
+        cases.append(("powerlaw", n, 8, datasets.power_law(n, 8, seed=17)))
+
+    for case, n, epn, coo in cases:
+        r, c, v, nn = coo
+        a = SparseCSR.from_coo_host(r, c, v, nn, sr=U64,
+                                    capacity=_pow2(len(r)))
+        flops = symbolic_flops_exact(a, a)
+        cap = _pow2(flops)
+        # agreement first (reference discipline), then time
+        want = spgemm_rowcat(a, a).check()
+        nnz_c = int(want.nnz)
+        if "esc" in algos:
+            esc_out = spgemm(a, a, cap).check()
+            assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
+        for algo in algos:
+            if algo == "esc":
+                t = _time_esc(a, cap, reps, iters)
+            elif algo == "rowcat":
+                t = _time_rowcat(a, reps, iters)
+            elif algo == "bcoo":
+                tb = _time_bcoo(a, reps, iters)
+                if tb is None:
+                    continue
+                t = tb
+            else:
+                raise ValueError(algo)
+            line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},{algo},"
+                    f"{t:.6f},{flops / t / 1e6:.1f}")
+            rows.append(line)
+            if verbose:
+                print(line, flush=True)
+    return "\n".join(rows) + "\n"
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    ap = argparse.ArgumentParser(description=run.__doc__)
+    ap.add_argument("--sides", type=int, nargs="*",
+                    default=[1000, 3375, 8000, 27000])
+    ap.add_argument("--e-per-n", type=int, nargs="*", default=[2, 8, 32])
+    ap.add_argument("--algos", nargs="*", default=["esc", "rowcat"])
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--out", default="bench_out/spgemm_sweep.csv")
+    args = ap.parse_args(argv)
+    from . import configure_cache
+    configure_cache()
+    csv = run(sides=tuple(args.sides), e_per_n=tuple(args.e_per_n),
+              algos=tuple(args.algos), reps=args.reps)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(csv)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,8 @@ def main(argv=None):
     parser.add_argument("--per-decade", type=int, default=4)
     parser.add_argument("--reps", type=int, default=64)
     args = parser.parse_args(argv)
+    from . import configure_cache
+    configure_cache()
     os.makedirs(args.out_dir, exist_ok=True)
     for ci in args.configs:
         cfg = GPT_CONFIGS[ci]

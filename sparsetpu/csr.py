@@ -62,11 +62,19 @@ class SparseCSR:
         return (self.n_rows, self.n_cols)
 
     def row_of_slot(self) -> jnp.ndarray:
-        """int32[capacity]: row index of each entry slot (n_rows for padding)."""
+        """int32[capacity]: row index of each entry slot (n_rows for padding).
+
+        scatter + cummax, not searchsorted: binary search with capacity-many
+        consecutive queries costs log2(n) random-gather passes over the
+        whole slot stream (~100 M gathers/s measured on TPU); the
+        scatter-row-starts + running-max formulation is one n_rows-sized
+        scatter plus one scan."""
         slots = jnp.arange(self.capacity, dtype=jnp.int32)
-        return (
-            jnp.searchsorted(self.row_ptr, slots, side="right").astype(jnp.int32) - 1
+        rows = segments.repeat_index(
+            self.row_ptr[:-1], jnp.arange(self.n_rows, dtype=jnp.int32),
+            self.capacity,
         )
+        return jnp.where(slots < self.nnz, rows, jnp.int32(self.n_rows))
 
     def row_nnz(self) -> jnp.ndarray:
         return self.row_ptr[1:] - self.row_ptr[:-1]

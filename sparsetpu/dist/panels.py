@@ -82,7 +82,12 @@ def _expand_against_panel(sr, a_rows, a_cols, a_vals, valid_a,
     total = cum[cap_a - 1] if cap_a > 0 else jnp.int32(0)
 
     t = jnp.arange(step_cap, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    from ..ops import segments as segs
+
+    starts = jnp.where(counts > 0, cum - counts, step_cap)
+    src = segs.repeat_index(
+        starts, jnp.arange(cap_a, dtype=jnp.int32), step_cap
+    )
     valid_e = t < total
     src = jnp.clip(src, 0, cap_a - 1)
     rank = t - (cum[src] - counts[src])
@@ -116,55 +121,73 @@ def spgemm_panels(a: ShardedCSR, b: ShardedCSR, step_cap: int,
     def local(rp, ci, vals, nnz, b_rp, b_ci, b_vals, b_nnz):
         my = jax.lax.axis_index(AXIS)
         valid_a = jnp.arange(a.capacity) < nnz[0]
-        # local-entry row ids from the local row_ptr
+        # local-entry row ids: scatter+cummax (see SparseCSR.row_of_slot)
+        from ..ops import segments as segs
+
         slots = jnp.arange(a.capacity, dtype=jnp.int32)
-        a_rows = (
-            jnp.searchsorted(rp[0], slots, side="right").astype(jnp.int32) - 1
+        a_rows = segs.repeat_index(
+            rp[0][:-1], jnp.arange(n_local, dtype=jnp.int32), a.capacity
         )
+        a_rows = jnp.where(slots < nnz[0], a_rows, jnp.int32(n_local))
         a_vals = tuple(v[0] for v in vals)
         a_cols = ci[0]
 
-        # rotating panel state (start: own panel)
-        p_rp, p_ci = b_rp[0], b_ci[0]
-        p_vals = tuple(v[0] for v in b_vals)
+        # rotating panel state (start: own panel).  The ring is a
+        # lax.fori_loop, not a Python unroll: one traced expansion instead
+        # of nd copies cut the XLA compile burden ~nd-fold (the round-1
+        # unrolled version took minutes to compile per capacity bucket).
+        nlimbs = len(b_vals)
+        shift = [(d, (d - 1) % nd) for d in range(nd)]
 
-        i_parts, j_parts, v_parts, ok_parts = [], [], [], []
-        total = jnp.int32(0)
-        flops_ok = jnp.bool_(True)
-        for step in range(nd):
+        def ring_step(step, carry):
+            (p_rp, p_ci, p_vals, i_all, j_all, ok_all, v_all, total,
+             flops_ok) = carry
             src_shard = jnp.mod(my + step, nd)  # whose panel we hold now
             panel_base = src_shard.astype(jnp.int32) * jnp.int32(nlb)
             i, j, v, ok, t = _expand_against_panel(
                 sr, a_rows, a_cols, a_vals, valid_a,
                 p_rp, p_ci, p_vals, panel_base, nlb, step_cap, n_local,
             )
-            i_parts.append(i)
-            j_parts.append(j)
-            v_parts.append(v)
-            ok_parts.append(ok)
+            off = step * step_cap
+            i_all = jax.lax.dynamic_update_slice(i_all, i, (off,))
+            j_all = jax.lax.dynamic_update_slice(j_all, j, (off,))
+            ok_all = jax.lax.dynamic_update_slice(ok_all, ok, (off,))
+            v_all = tuple(
+                jax.lax.dynamic_update_slice(buf, limb, (off,))
+                for buf, limb in zip(v_all, v)
+            )
             total = total + t
             # products are dropped PER ring step when that step's expansion
             # exceeds step_cap, so overflow must be tracked per step — an
-            # aggregate total <= nd * step_cap check would let a device with
-            # one step over cap and others under it pass silently
+            # aggregate total <= nd * step_cap check would let a device
+            # with one step over cap and others under it pass silently
             flops_ok = flops_ok & (t <= step_cap)
-            if step + 1 < nd:
-                # rotate panels: device d's panel goes to d-1, so after
-                # `step` rotations device d holds panel (d + step) % nd.
-                # XLA schedules this ppermute concurrently with the next
-                # iteration's independent expansion work.
-                shift = [(d, (d - 1) % nd) for d in range(nd)]
-                p_rp = jax.lax.ppermute(p_rp, AXIS, shift)
-                p_ci = jax.lax.ppermute(p_ci, AXIS, shift)
-                p_vals = tuple(
-                    jax.lax.ppermute(x, AXIS, shift) for x in p_vals
-                )
+            # rotate panels: device d's panel goes to d-1, so after `step`
+            # rotations device d holds panel (d + step) % nd.  XLA
+            # schedules the ppermute concurrently with independent local
+            # work; the final rotation completes the cycle (identity).
+            p_rp = jax.lax.ppermute(p_rp, AXIS, shift)
+            p_ci = jax.lax.ppermute(p_ci, AXIS, shift)
+            p_vals = tuple(jax.lax.ppermute(x, AXIS, shift) for x in p_vals)
+            return (p_rp, p_ci, p_vals, i_all, j_all, ok_all, v_all, total,
+                    flops_ok)
 
-        i_all = jnp.concatenate(i_parts)
-        j_all = jnp.concatenate(j_parts)
-        ok_all = jnp.concatenate(ok_parts)
-        v_all = tuple(jnp.concatenate([p[li] for p in v_parts])
-                      for li in range(len(v_parts[0])))
+        # fresh buffers are replicated-typed under shard_map; the loop body
+        # makes them device-varying, so pre-mark the carry with pvary to
+        # keep the fori_loop carry type fixed
+        vary = lambda x: jax.lax.pvary(x, AXIS)
+        init = (
+            b_rp[0], b_ci[0], tuple(v[0] for v in b_vals),
+            vary(jnp.full((nd * step_cap,), n_local, jnp.int32)),
+            vary(jnp.full((nd * step_cap,), INT32_SENTINEL, jnp.int32)),
+            vary(jnp.zeros((nd * step_cap,), bool)),
+            tuple(vary(jnp.zeros((nd * step_cap,), b_vals[li].dtype))
+                  for li in range(nlimbs)),
+            vary(jnp.int32(0)), vary(jnp.bool_(True)),
+        )
+        (_, _, _, i_all, j_all, ok_all, v_all, total, flops_ok) = (
+            jax.lax.fori_loop(0, nd, ring_step, init)
+        )
         c = SparseCSR.from_coo_device(
             i_all, j_all, v_all, n_local, b.n_cols, sr, out_cap,
             valid=ok_all,
@@ -201,6 +224,11 @@ def spgemm_panels_auto(a: ShardedCSR, b: ShardedCSR,
     mesh = mesh if mesh is not None else default_mesh(a.n_shards)
     flops = np.asarray(jax.device_get(symbolic_flops_panels(a, b, mesh=mesh)))
     cap = max(int(flops.max()), 1)
+    # out_cap: the per-device TOTAL expansion (row sum over panels) bounds
+    # that device's output nnz — typically far below the nd*step_cap
+    # default, which made the final sort nd times larger than needed
+    out_cap = max(int(flops.sum(axis=1).max()), 1)
     if round_to_pow2:
         cap = 1 << (cap - 1).bit_length()
-    return spgemm_panels(a, b, step_cap=cap, mesh=mesh)
+        out_cap = 1 << (out_cap - 1).bit_length()
+    return spgemm_panels(a, b, step_cap=cap, out_cap=out_cap, mesh=mesh)

@@ -261,10 +261,9 @@ def _try_sparse_chain(parsed, out, operands, infos, dims, sr,
         ia, ib, k, x, y = found
         a = as_csr(items[ia], transpose=items[ia][0][0] == k)
         b = as_csr(items[ib], transpose=items[ib][0][1] == k)
-        from ..ops.spgemm import symbolic_flops_exact
+        from ..ops.spgemm import spgemm_auto
 
-        flops = symbolic_flops_exact(a, b)
-        c = spgemm(a, b, _pow2(flops)).check()
+        c = spgemm_auto(a, b)  # self-routes esc vs row-categorized
         new_item = [(x, y), c, ("sparse", c.shape, None), c]
         items = [it for j, it in enumerate(items) if j not in (ia, ib)]
         items.append(new_item)

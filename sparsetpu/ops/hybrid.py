@@ -211,19 +211,24 @@ def choose_strategy(a: SparseCSR, steps: int = 1) -> str:
     vmax = _csr_max_value(a)
     if vmax >= F32_EXACT_LIMIT:
         return "esc"
-    bw = cyclic_bandwidth(a)
-    # the chain product densifies when (a) the band growth (+bw per
-    # product) covers the matrix AND (b) the expected output row degree
-    # (deg^(steps+1), capped at n) becomes a meaningful fraction of n
+    # dense-acc: the Pallas row-streaming kernel iterates the STATIC
+    # operand's entries and keeps the product dense — measured fastest
+    # whenever the dense product fits HBM and the expected final row
+    # degree (deg^(steps+1)) reaches ~1% of n (the 30^3 headline chain:
+    # 3^7 = 2187 of 27000 = 8%).  Bandedness is irrelevant to this path.
     deg = max(nnz / max(n, 1), 1.0)
-    band_cover = min(2.0 * bw * max(steps, 1) / max(n, 1), 1.0)
     exp_row_deg = min(deg ** (steps + 1), float(n))
-    if band_cover >= 0.5 and exp_row_deg >= 0.05 * n:
+    padded_cols = -(-n // 1024) * 1024
+    dense_bytes = n * padded_cols * 4
+    if dense_bytes <= 4e9 and exp_row_deg >= 0.01 * n:
         return "dense-acc"
     # banded and staying banded: MXU band kernel wins when the band is
     # reasonably occupied (dense blocks not mostly zeros)
+    bw = cyclic_bandwidth(a)
     band_frac = 2.0 * bw / max(n, 1)
     band_density = nnz / max(band_frac * n * n, 1.0)
     if band_density > 0.01:
         return "band"
+    # general scattered sparsity: the row-categorized batched kernel
+    # (spgemm_auto routes "esc" to it above the small-size cutoff)
     return "esc"

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..csr import SparseCSR
 from ..semiring import by_name
+from . import segments
 from .segments import INT32_SENTINEL
 
 
@@ -68,7 +69,13 @@ def symbolic_flops_exact(a: SparseCSR, b: SparseCSR) -> int:
 
 
 def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
-    """Materialize partial-product streams (i, j, v, valid) of size expand_cap."""
+    """Materialize partial-product streams (i, j, v, valid) of size expand_cap.
+
+    The entry covering each expansion slot comes from the scatter+cummax
+    repeat primitive (segments.repeat_index) rather than a binary search:
+    searchsorted with expand_cap consecutive queries costs log2 random-
+    gather passes over the whole stream — the measured bottleneck of the
+    round-1 expansion (~100 M gathers/s per pass on TPU)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
     sr = a.sr
     valid_a = jnp.arange(a.capacity) < a.nnz
@@ -79,7 +86,10 @@ def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
     total = cum[a.capacity - 1] if a.capacity > 0 else jnp.int32(0)
 
     t = jnp.arange(expand_cap, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, t, side="right").astype(jnp.int32)
+    starts = jnp.where(counts > 0, cum - counts, expand_cap)  # drop empty
+    src = segments.repeat_index(
+        starts, jnp.arange(a.capacity, dtype=jnp.int32), expand_cap
+    )
     valid_e = t < total
     src = jnp.clip(src, 0, a.capacity - 1)
     offset = cum[src] - counts[src]
@@ -126,18 +136,31 @@ def spadd(a: SparseCSR, b: SparseCSR, out_cap: Optional[int] = None) -> SparseCS
     )
 
 
-def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True) -> SparseCSR:
+def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
+                kernel: str = "auto") -> SparseCSR:
     """Host-driven SpGEMM: runs the symbolic pass, fetches the exact flop
-    count, rounds the capacity up to a power of two (bounding recompiles),
-    then runs the jitted numeric pass.  This is the two-pass symbolic+numeric
-    structure of the reference (src/graph_csr.rs:350-484) adapted to XLA's
-    static-shape model."""
+    count, and self-routes to the best numeric kernel (the MagnusConfig
+    role, src/graph_magnus.rs:225-242):
+
+      - small expansions: the single-dispatch sort-based ESC kernel
+        (dispatch-count-bound at this size);
+      - everything else: the row-categorized kernel (ops/rowcat.py), whose
+        per-category batched sorts replace the global sort and whose
+        overflow rows fall back to ESC internally.
+
+    ``kernel`` forces a path: "esc" | "rowcat" | "auto"."""
     flops = symbolic_flops_exact(a, b)
     if flops >= 1 << 31:
         raise ValueError(
             f"spgemm expansion of {flops} products cannot be materialized "
             "(int32 indexing / HBM); split the product or use a dense path"
         )
+    if kernel == "auto":
+        kernel = "esc" if flops <= (1 << 16) else "rowcat"
+    if kernel == "rowcat":
+        from .rowcat import spgemm_rowcat
+
+        return spgemm_rowcat(a, b).check()
     cap = max(flops, 1)
     if round_to_pow2:
         cap = 1 << (cap - 1).bit_length()
