@@ -115,6 +115,20 @@ def main(argv=None):
     for path in sorted(glob.glob(os.path.join(args.bench_dir, "scaling_*.csv"))):
         with open(path) as f:
             parts.append(csv_to_markdown(f.read(), title=os.path.basename(path)))
+    for path in sorted(glob.glob(os.path.join(args.bench_dir,
+                                              "spgemm_sweep*.csv"))):
+        with open(path) as f:
+            text = f.read()
+        parts.append(csv_to_markdown(text, title=os.path.basename(path)))
+        png = os.path.join(os.path.dirname(args.out) or ".", "reports",
+                           "spgemm_surface.png")
+        os.makedirs(os.path.dirname(png), exist_ok=True)
+        if try_plot_spgemm_surface(text, png):
+            parts.append(f"\n![spgemm surface]({png})\n")
+    for path in sorted(glob.glob(os.path.join(args.bench_dir,
+                                              "engine_bench*.csv"))):
+        with open(path) as f:
+            parts.append(csv_to_markdown(f.read(), title=os.path.basename(path)))
     with open(args.out, "w") as f:
         f.write("\n".join(parts))
     print(f"wrote {args.out}")
@@ -185,3 +199,70 @@ def try_plot_overhead(csv_text: str, out_png: str) -> bool:
     fig.savefig(out_png, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return True
+
+
+def try_plot_spgemm_surface(csv_text: str, out_png: str) -> bool:
+    """Kernel-crossover surface over the side x e/n grid (the repo analog
+    of the reference's surface_csr_vs_magnus.png, src/graph_magnus.rs:
+    790-929): per (n, e_per_n) cell, the products/s of each algo and the
+    winner."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        lines = [l for l in csv_text.strip().split("\n")[1:] if l]
+        data = {}
+        for l in lines:
+            case, n, epn, nnz_a, flops, nnz_c, algo, secs, mps = l.split(",")
+            if case != "er":
+                continue
+            data.setdefault((int(n), int(epn)), {})[algo] = float(mps)
+        if not data:
+            return False
+        sides = sorted({k[0] for k in data})
+        epns = sorted({k[1] for k in data})
+        algos = sorted({a for v in data.values() for a in v})
+        fig, axes = plt.subplots(1, len(algos) + 1,
+                                 figsize=(4 * (len(algos) + 1), 3.6))
+        for ax, algo in zip(axes, algos):
+            grid = np.full((len(epns), len(sides)), np.nan)
+            for (n, e), v in data.items():
+                if algo in v:
+                    grid[epns.index(e), sides.index(n)] = v[algo]
+            im = ax.imshow(grid, origin="lower", aspect="auto",
+                           cmap="viridis")
+            ax.set_xticks(range(len(sides)), sides)
+            ax.set_yticks(range(len(epns)), epns)
+            ax.set_xlabel("side n")
+            ax.set_ylabel("e/n")
+            ax.set_title(f"{algo} Mproducts/s")
+            for (n, e), v in data.items():
+                if algo in v:
+                    ax.text(sides.index(n), epns.index(e), f"{v[algo]:.0f}",
+                            ha="center", va="center", color="w", fontsize=8)
+            fig.colorbar(im, ax=ax)
+        ax = axes[-1]
+        win = np.full((len(epns), len(sides)), -1)
+        for (n, e), v in data.items():
+            if v:
+                best = max(v, key=v.get)
+                win[epns.index(e), sides.index(n)] = algos.index(best)
+        ax.imshow(win, origin="lower", aspect="auto", cmap="tab10",
+                  vmin=0, vmax=9)
+        ax.set_xticks(range(len(sides)), sides)
+        ax.set_yticks(range(len(epns)), epns)
+        ax.set_title("winner")
+        for (n, e), v in data.items():
+            if v:
+                ax.text(sides.index(n), epns.index(e), max(v, key=v.get),
+                        ha="center", va="center", color="w", fontsize=8)
+        fig.tight_layout()
+        fig.savefig(out_png, dpi=120)
+        plt.close(fig)
+        return True
+    except Exception as e:
+        print(f"# surface plot skipped: {type(e).__name__}: {e}")
+        return False

@@ -45,19 +45,22 @@ def _time_esc(a: SparseCSR, cap: int, reps: int, iters: int) -> float:
 
 
 def _time_rowcat(a: SparseCSR, reps: int, iters: int) -> float:
-    """Times the jitted per-category numeric + assembly passes; the tiny
-    plan-stats fetch happens per call on the host exactly as in real use,
-    so it is timed too (per-dispatch, not fused — rowcat is a host-driven
-    two-pass kernel)."""
-    spgemm_rowcat(a, a).check()  # warm every category jit
-    best = float("inf")
-    for _ in range(max(iters, 1)):
-        t0 = time.perf_counter()
-        for _ in range(max(reps // 4, 1)):
-            out = spgemm_rowcat(a, a)
-            jax.block_until_ready(out.nnz)
-        best = min(best, (time.perf_counter() - t0) / max(reps // 4, 1))
-    return best
+    """Fused-loop timing of the single-dispatch numeric phase with a fixed
+    plan config — symmetric with the ESC timing (which also excludes its
+    host-side capacity fetch).  The plan pass itself is one small program
+    + one tunnel sync per product in real use."""
+    from ..ops.rowcat import rowcat_config, rowcat_numeric
+
+    fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, a)
+    rowcat_numeric(a, a, fr, cat, perm, cats, of_cap, cap_g, cap).check()
+
+    def step(bump):
+        a2 = dataclasses.replace(
+            a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
+        out = rowcat_numeric(a2, a, fr, cat, perm, cats, of_cap, cap_g, cap)
+        return out.values[0][0].astype(jnp.float32)
+
+    return fused_loop_time(step, reps=reps, iters=iters)
 
 
 def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
@@ -102,20 +105,51 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
     for n in power_law_sides:
         cases.append(("powerlaw", n, 8, datasets.power_law(n, 8, seed=17)))
 
+    # caps above ~4M make the monolithic ESC program un-compilable on the
+    # remote TPU compiler (observed SIGKILL/hangs in rounds 1-2); record
+    # those cells as DNF instead of stalling the sweep
+    esc_max_cap = 1 << 22
+
     for case, n, epn, coo in cases:
         r, c, v, nn = coo
         a = SparseCSR.from_coo_host(r, c, v, nn, sr=U64,
                                     capacity=_pow2(len(r)))
         flops = symbolic_flops_exact(a, a)
         cap = _pow2(flops)
-        # agreement first (reference discipline), then time
+        # agreement first (reference discipline): nnz + leading-row values
+        # against the native C++ oracle, then time
         want = spgemm_rowcat(a, a).check()
         nnz_c = int(want.nnz)
-        if "esc" in algos:
-            esc_out = spgemm(a, a, cap).check()
-            assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
+        from .. import native
+
+        rp_h, ci_h, v_h = a.to_numpy()
+        crp, _, _ = native.spgemm(
+            native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h),
+            native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h), nn)
+        assert nnz_c == int(crp[-1]), (nnz_c, int(crp[-1]))
+        # category mix (the MAGNUS dispatch picture, esp. for power-law)
+        from ..ops.rowcat import THRESHOLDS, plan
+
+        _, _, _, stats = plan(a, a)
+        stats_h = np.asarray(jax.device_get(stats))
+        labels = [f"L{t}" for t in THRESHOLDS] + ["overflow"]
+        mix = " ".join(f"{lb}:{int(rc)}" for lb, (rc, _) in
+                       zip(labels, stats_h) if rc > 0)
+        if verbose:
+            dmax, dmean = datasets.degree_stats(coo)
+            print(f"# catmix {case} n={n} e/n={epn}: {mix} "
+                  f"(deg max={dmax} mean={dmean:.1f})", flush=True)
         for algo in algos:
             if algo == "esc":
+                if cap > esc_max_cap:
+                    line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
+                            f"esc,DNF_compile,0.0")
+                    rows.append(line)
+                    if verbose:
+                        print(line, flush=True)
+                    continue
+                esc_out = spgemm(a, a, cap).check()
+                assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
                 t = _time_esc(a, cap, reps, iters)
             elif algo == "rowcat":
                 t = _time_rowcat(a, reps, iters)

@@ -154,6 +154,40 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         out.append(row)
         if verbose:
             print(row, flush=True)
+
+        # Pallas block-sparse SDD race (the reference Chunked competitor,
+        # src/main.rs:313): block structure built once per density; the
+        # pair list is pow2-padded with duplicates of pair 0 to bound
+        # per-density recompiles (measured time is thus a <= 2x upper
+        # bound at low block counts — disclosed, nblocks in mem_v column)
+        from ..kernels import blocksparse
+
+        t0 = time.perf_counter()
+        _, qi, ki, meta = blocksparse.block_sparse_attention_scores(q, k)
+        sdd_gen = time.perf_counter() - t0
+        nblocks = int(qi.shape[0])
+        tpad = _pow2(nblocks)
+        qi_p = jnp.concatenate(
+            [qi, jnp.broadcast_to(qi[:1], (tpad - nblocks,))])
+        ki_p = jnp.concatenate(
+            [ki, jnp.broadcast_to(ki[:1], (tpad - nblocks,))])
+        qf, kf = meta["qf"], meta["kf"]
+
+        def sdd_step(bump):
+            blk = blocksparse.sdd_block_scores(qf + bump * 1e-30, kf,
+                                               qi_p, ki_p)
+            return blk[0, 0, 0]
+
+        sdd_t = fused_loop_time(sdd_step, reps=step_reps, iters=iters)
+        mem = int(tpad) * meta["block"] * meta["block"] * 4
+        row = (
+            f"sdd,{density:.4f},{q_nz},{k_nz},{nblocks},"
+            f"{kf.size * 4},{qf.size * 4},{mem},"
+            f"{sdd_t*1e6:.0f},{sdd_gen*1e6:.0f},0"
+        )
+        out.append(row)
+        if verbose:
+            print(row, flush=True)
     return "\n".join(out) + "\n"
 
 

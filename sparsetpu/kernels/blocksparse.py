@@ -197,7 +197,8 @@ def block_sparse_attention_scores(
     blocks = sdd_block_scores(
         jnp.asarray(qf), jnp.asarray(kf), qi, ki, block_m=block, block_n=block
     )
-    meta = dict(shape4=(b, s, h, d), block=block, pad_rows=pad_rows)
+    meta = dict(shape4=(b, s, h, d), block=block, pad_rows=pad_rows,
+                qf=jnp.asarray(qf), kf=jnp.asarray(kf))
     return blocks, qi, ki, meta
 
 

@@ -72,11 +72,31 @@ def plan(a: SparseCSR, b: SparseCSR):
     return fr, cat, perm, jnp.stack([rows_per, flops_per], axis=1)
 
 
-@partial(jax.jit, static_argnames=("L", "cap_stream"))
+def shared_stream(a: SparseCSR, b: SparseCSR, cap_g: int):
+    """Per-entry product machinery shared by EVERY category (and computed
+    once per product): entry counts, inclusive cumsum, and the stream->
+    entry map.  The first rowcat version recomputed these per category —
+    two extra full-capacity scans each, which alone cost more than the
+    global sort it was replacing."""
+    cap_a = a.capacity
+    valid_e = jnp.arange(cap_a) < a.nnz
+    a_cols = jnp.clip(a.col_idx, 0, b.n_rows - 1)
+    counts = jnp.where(valid_e, b.row_nnz()[a_cols], 0).astype(jnp.int32)
+    cincl = jnp.cumsum(counts)
+    cin0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cincl])
+    starts = jnp.where(counts > 0, cincl - counts, cap_g)
+    src = segments.repeat_index(
+        starts, jnp.arange(cap_a, dtype=jnp.int32), cap_g
+    )
+    ok = cincl[-1] <= cap_g  # host sizes cap_g exactly; belt-and-braces
+    return counts, cincl, cin0, src, a_cols, ok
+
+
 def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
-                L: int, cap_stream: int):
-    """One category: expand the selected rows' products, batch-sort each
-    row along lanes, merge duplicates (saturating), pack survivors first.
+                L: int, shared):
+    """One category: gather the selected rows' products straight into the
+    (Rp, L) padded layout, batch-sort each row along lanes, merge
+    duplicates (saturating), pack survivors first.
 
     rows: (Rp,) global row ids (n_rows = padding).  Returns
     (cols (Rp, L), totals limb tuple (Rp, L), nr (Rp,)).
@@ -84,76 +104,52 @@ def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
     sr = a.sr
     n = a.n_rows
     cap_a = a.capacity
+    counts, cincl, cin0, src, a_cols, stream_ok = shared
+    cap_g = src.shape[0]
     row_valid = rows < n
     rsafe = jnp.clip(rows, 0, n - 1)
 
-    # entry membership of the selected rows
-    member_row = jnp.zeros((n + 1,), bool).at[jnp.where(row_valid, rows, n)].set(
-        True, mode="drop"
-    )
-    a_rows = a.row_of_slot()
-    valid_e = jnp.arange(cap_a) < a.nnz
-    a_cols = jnp.clip(a.col_idx, 0, b.n_rows - 1)
-    counts = jnp.where(
-        valid_e & member_row[jnp.clip(a_rows, 0, n)], b.row_nnz()[a_cols], 0
-    ).astype(jnp.int32)
-    cincl = jnp.cumsum(counts)
-    cin0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cincl])
-    total = cin0[-1]
-
-    # compact product stream for this category (row-major order)
-    t = jnp.arange(cap_stream, dtype=jnp.int32)
-    starts = jnp.where(counts > 0, cincl - counts, cap_stream)
-    src = segments.repeat_index(
-        starts, jnp.arange(cap_a, dtype=jnp.int32), cap_stream
-    )
-    ok_t = t < total
-    src = jnp.clip(src, 0, cap_a - 1)
-    rank = t - (cincl[src] - counts[src])
-    b_pos = jnp.clip(b.row_ptr[a_cols[src]] + rank, 0, b.capacity - 1)
-    j_st = jnp.where(ok_t, b.col_idx[b_pos], INT32_SENTINEL)
-    v_st = sr.mul(sr.gather(a.values, src), sr.gather(b.values, b_pos))
-    v_st = sr.where(ok_t, v_st, sr.zeros((cap_stream,)))
-
-    # padded placement: row r's products occupy [off_r, off_r + fr_r)
+    # direct padded expansion: per padded slot (r, l), find the covering
+    # entry through the repeat stream's src map, then gather every product
+    # operand ONCE, straight into the (Rp, L) layout — materializing an
+    # intermediate product stream and re-gathering it costs 3+nlimbs extra
+    # full passes at the measured ~100 M random-gathers/s
     off_r = cin0[a.row_ptr[rsafe]]
     fr_sel = jnp.where(row_valid, fr[rsafe], 0)
     l = jnp.arange(L, dtype=jnp.int32)
     ok_rl = l[None, :] < fr_sel[:, None]
-    src_pad = jnp.clip(off_r[:, None] + l[None, :], 0, cap_stream - 1)
-    cols_p = jnp.where(ok_rl, j_st[src_pad], INT32_SENTINEL)
-    limbs_p = tuple(
-        jnp.where(ok_rl, limb[src_pad], 0) for limb in v_st
-    )
+    src_pad = jnp.clip(off_r[:, None] + l[None, :], 0, cap_g - 1)
+    e = jnp.clip(src[src_pad], 0, cap_a - 1)
+    rank = src_pad - (cincl[e] - counts[e])
+    b_pos = jnp.clip(b.row_ptr[a_cols[e]] + rank, 0, b.capacity - 1)
+    cols_p = jnp.where(ok_rl, b.col_idx[b_pos], INT32_SENTINEL)
+    v_p = sr.mul(sr.gather(a.values, e), sr.gather(b.values, b_pos))
+    limbs_p = sr.where(ok_rl, v_p, sr.zeros(ok_rl.shape))
 
     # batched per-row sort by column (sentinels last)
     out = jax.lax.sort([cols_p, *limbs_p], dimension=-1, num_keys=1,
                        is_stable=False)
     cols_s, limbs_s = out[0], tuple(out[1:])
 
-    # merge duplicate columns: flatten, force heads at row starts, reuse
-    # the shared segmented saturating scan
-    rp = cols_s.shape[0]
-    colf = cols_s.reshape(-1)
-    limbf = tuple(x.reshape(-1) for x in limbs_s)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), colf[:-1]])
-    head = colf != prev
-    head = head | (jnp.arange(rp * L, dtype=jnp.int32) % L == 0)
-    totals = segments.segment_reduce_sorted(sr, head, limbf)
-    tail = jnp.concatenate([head[1:], jnp.ones((1,), bool)])
-    keep = tail & (colf != INT32_SENTINEL) & ~sr.is_zero(totals)
+    # merge duplicate columns per row: lane-axis segmented saturating scan
+    # (log2(L) combine passes; rows are independent segments by layout)
+    prev = jnp.pad(cols_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+    head = cols_s != prev
+    totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
+    tail = jnp.concatenate(
+        [head[:, 1:], jnp.ones((head.shape[0], 1), bool)], axis=1
+    )
+    keep = tail & (cols_s != INT32_SENTINEL) & ~sr.is_zero(totals)
 
     # pack survivors first (second batched sort on keyed columns)
-    keyed = jnp.where(keep, colf, INT32_SENTINEL).reshape(rp, L)
-    tot2 = tuple(
-        jnp.where(keep, x, 0).reshape(rp, L) for x in totals
-    )
+    keyed = jnp.where(keep, cols_s, INT32_SENTINEL)
+    tot2 = tuple(jnp.where(keep, x, 0) for x in totals)
     out2 = jax.lax.sort([keyed, *tot2], dimension=-1, num_keys=1,
                         is_stable=False)
     cols2, limbs2 = out2[0], tuple(out2[1:])
-    nr = jnp.sum(keep.reshape(rp, L), axis=1).astype(jnp.int32)
-    # overflow guard: products dropped if the category stream overflowed
-    nr = jnp.where(total <= cap_stream, nr, -1)
+    nr = jnp.sum(keep, axis=1).astype(jnp.int32)
+    # overflow guard: products dropped if the global stream overflowed
+    nr = jnp.where(stream_ok, nr, -1)
     return cols2, limbs2, nr
 
 
@@ -229,71 +225,79 @@ def _esc_rows(a: SparseCSR, b: SparseCSR, row_mask: jnp.ndarray, cap: int,
     return dataclasses.replace(c, nnz=nnz)
 
 
-def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
-                  out_cap: Optional[int] = None) -> SparseCSR:
-    """C = A x B via on-device row categorization + per-category batched
-    numeric kernels.  Host involvement: one (n_cats, 2) stats fetch to size
-    the static shapes (the same two-pass role as spgemm_auto's flop fetch).
-    Rows whose product count exceeds the largest slab threshold take the
-    sort-based ESC kernel (disjoint row support; merged with spadd).
-    """
-    assert a.n_cols == b.n_rows, (a.shape, b.shape)
-    sr = a.sr
-    n = a.n_rows
+def rowcat_config(a: SparseCSR, b: SparseCSR,
+                  out_cap: Optional[int] = None):
+    """Host half of the two-pass kernel: run plan(), fetch the (n_cats, 2)
+    stats table, and derive the static shape configuration.  Returns
+    (fr, cat, perm, cats, of_cap, out_cap) where cats is a static tuple of
+    (L, rows_pad, rows_real, offset, cap_stream) per non-empty category."""
     fr, cat, perm, stats = plan(a, b)
     stats_h = np.asarray(jax.device_get(stats)).astype(np.int64)
     rows_per, flops_per = stats_h[:, 0], stats_h[:, 1]
     n_cats = len(THRESHOLDS) + 1
-    overflow = None
+    of_cap = 0
     if rows_per[n_cats - 1] > 0:
         of_flops = int(flops_per[n_cats - 1])
-        of_cap = _pow2(of_flops)
         if of_flops >= 1 << 31:
             raise ValueError(
                 f"overflow rows expand to {of_flops} products; "
                 "use a dense-accumulator chain for this product"
             )
-        overflow = _esc_rows(
-            a, b, cat == n_cats - 1, of_cap, of_cap
-        )
+        of_cap = _pow2(of_flops)
     total_flops = int(flops_per[: n_cats - 1].sum())
-    if total_flops >= 1 << 31:
-        raise ValueError(f"expansion of {total_flops} products too large")
-
-    # pad perm so category slices can read past n harmlessly
-    perm_pad = jnp.concatenate(
-        [perm, jnp.full((_pow2(max(int(rows_per.max()), 1)),), n, jnp.int32)]
-    )
+    if int(flops_per.sum()) >= 1 << 31:
+        raise ValueError(
+            f"expansion of {int(flops_per.sum())} products too large")
     offsets = np.concatenate([[0], np.cumsum(rows_per)]).astype(np.int64)
+    cats = tuple(
+        (THRESHOLDS[c], _pow2(rows_per[c]), int(rows_per[c]),
+         int(offsets[c]))
+        for c in range(n_cats - 1) if rows_per[c] > 0
+    )
+    # the shared product stream spans ALL rows (overflow included)
+    cap_g = _pow2(max(int(flops_per.sum()), 1))
+    cap = out_cap or _pow2(max(total_flops, 1))
+    return fr, cat, perm, cats, of_cap, cap_g, cap
 
-    slab_cols: List[jnp.ndarray] = []
-    slab_limbs: List[Tuple[jnp.ndarray, ...]] = []
-    slab_nr: List[jnp.ndarray] = []
-    slab_rows: List[jnp.ndarray] = []
-    slab_L: List[int] = []
-    for c in range(n_cats - 1):
-        if rows_per[c] == 0:
-            continue
-        L = THRESHOLDS[c]
-        rp_c = _pow2(rows_per[c])
-        rows_c = perm_pad[int(offsets[c]): int(offsets[c]) + rp_c]
+
+@partial(jax.jit, static_argnames=("cats", "of_cap", "cap_g", "out_cap"))
+def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
+                   cats, of_cap: int, cap_g: int, out_cap: int) -> SparseCSR:
+    """Device half: every per-category numeric pass, the overflow ESC
+    fallback, and the final assembly fused into ONE program — the
+    host-visible dispatch count is what dominates a multi-kernel pipeline
+    behind a ~30 ms-per-sync tunnel, so the whole numeric phase is a
+    single dispatch."""
+    sr = a.sr
+    n = a.n_rows
+    n_cats = len(THRESHOLDS) + 1
+
+    overflow = None
+    if of_cap > 0:
+        overflow = _esc_rows(a, b, cat == n_cats - 1, of_cap, of_cap)
+    if not cats:
+        if overflow is not None:
+            return overflow
+        return SparseCSR.empty(n, b.n_cols, max(out_cap, 1), sr)
+
+    max_rp = max(rp for (_, rp, _, _) in cats)
+    perm_pad = jnp.concatenate(
+        [perm, jnp.full((max_rp,), n, jnp.int32)]
+    )
+    shared = shared_stream(a, b, cap_g)
+
+    slab_cols, slab_limbs, slab_nr, slab_rows, slab_L = [], [], [], [], []
+    for L, rp_c, r_c, off in cats:
+        rows_c = perm_pad[off: off + rp_c]
         # pow2 padding would otherwise leak the next category's rows into
         # this slice — mask the tail to the invalid row id
-        rows_c = jnp.where(
-            jnp.arange(rp_c) < int(rows_per[c]), rows_c, jnp.int32(n)
-        )
-        cap_stream = _pow2(max(int(flops_per[c]), 1))
-        cols2, limbs2, nr = numeric_cat(a, b, rows_c, fr, L, cap_stream)
+        rows_c = jnp.where(jnp.arange(rp_c) < r_c, rows_c, jnp.int32(n))
+        cols2, limbs2, nr = numeric_cat(a, b, rows_c, fr, L, shared)
         slab_cols.append(cols2.reshape(-1))
         slab_limbs.append(tuple(x.reshape(-1) for x in limbs2))
         slab_nr.append(nr)
         slab_rows.append(rows_c)
         slab_L.append(L)
-
-    if not slab_cols:
-        if overflow is not None:
-            return overflow
-        return SparseCSR.empty(n, b.n_cols, max(out_cap or 1, 1), sr)
 
     cols_concat = jnp.concatenate(slab_cols)
     limbs_concat = tuple(
@@ -312,9 +316,8 @@ def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
         nr_full = nr_full.at[idx].set(nr, mode="drop")
         base += rp_c * L
 
-    cap = out_cap or _pow2(max(total_flops, 1))
     result = assemble(cols_concat, limbs_concat, base_of_row, nr_full,
-                      cap, n, b.n_cols, sr.name)
+                      out_cap, n, b.n_cols, sr.name)
     if overflow is not None:
         from .spgemm import spadd
 
@@ -328,3 +331,16 @@ def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
             merged, nnz=jnp.where(poisoned, -1, merged.nnz).astype(jnp.int32)
         )
     return result
+
+
+def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
+                  out_cap: Optional[int] = None) -> SparseCSR:
+    """C = A x B via on-device row categorization + per-category batched
+    numeric kernels.  Host involvement: one (n_cats, 2) stats fetch to size
+    the static shapes (the same two-pass role as spgemm_auto's flop
+    fetch), then a single fused numeric dispatch.  Rows whose product
+    count exceeds the largest slab threshold take the sort-based ESC
+    kernel (disjoint row support; merged with spadd)."""
+    assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, b, out_cap)
+    return rowcat_numeric(a, b, fr, cat, perm, cats, of_cap, cap_g, cap)

@@ -68,12 +68,17 @@ def segment_heads(keys: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return head
 
 
-def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value) -> Value:
+def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value,
+                          axis: int = 0) -> Value:
     """Segmented inclusive scan-totals: position i holds the running segment sum.
 
     The *segment total* lives at each segment's last element.  Combine op:
       (v1, h1) . (v2, h2) = (v2 if h2 else v1 (+) v2,  h1 | h2)
     which is associative because saturating unsigned add is associative.
+
+    ``axis`` selects the scan axis: row-padded 2-D layouts scan along the
+    lane axis (log2(L) combine passes instead of log2(R*L) — the scan's
+    cost is dominated by its fixed per-pass overhead, not element count).
     """
 
     def combine(a, b):
@@ -84,7 +89,7 @@ def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value) -> Va
         return (*v, ha | hb)
 
     init = (*values, heads)
-    out = jax.lax.associative_scan(combine, init)
+    out = jax.lax.associative_scan(combine, init, axis=axis)
     return out[:-1]
 
 
