@@ -105,10 +105,10 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
     for n in power_law_sides:
         cases.append(("powerlaw", n, 8, datasets.power_law(n, 8, seed=17)))
 
-    # caps above ~4M make the monolithic ESC program un-compilable on the
+    # caps above ~2M make the monolithic ESC program un-compilable on the
     # remote TPU compiler (observed SIGKILL/hangs in rounds 1-2); record
     # those cells as DNF instead of stalling the sweep
-    esc_max_cap = 1 << 22
+    esc_max_cap = 1 << 21
 
     for case, n, epn, coo in cases:
         r, c, v, nn = coo

@@ -110,50 +110,54 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         gen_time = time.perf_counter() - t0
         q_nz, k_nz = int(q_csr.nnz), int(kt_csr.nnz)
 
-        flops = int(symbolic_flops(q_csr, kt_csr))
-        if flops > max_flops:
-            if verbose:
-                print(f"# density {density:.4f}: flops {flops} > budget, stop",
-                      flush=True)
-            break
-        cap = _pow2(flops)
-
         from .timing import fused_loop_time
 
-        def dry_step(bump):
-            # symbolic_flops reads only structure (col_idx / row_ptr / nnz),
-            # so a value perturbation would be DCE'd and the probe hoisted
-            # out of the timing loop.  Instead perturb col_idx by a
-            # runtime-zero term derived from bump: the flop count gathers
-            # through col_idx, so the probe is live and loop-variant.
-            zero_i32 = (bump * 1e-30).astype(jnp.int32)
-            q2 = dataclasses.replace(q_csr, col_idx=q_csr.col_idx + zero_i32)
-            return symbolic_flops(q2, kt_csr).astype(jnp.float32)
-
+        flops = int(symbolic_flops(q_csr, kt_csr))
+        cap = _pow2(flops)
         # adaptive reps: low-density steps run tiny ESC programs, so fuse
         # more of them per dispatch — the floor scales as sync_cost / reps
         step_reps = int(min(1024, max(reps, (1 << 24) // max(cap, 1))))
+        if flops > max_flops:
+            # the sort-based path cannot materialize this expansion on one
+            # chip; keep sweeping — the block-sparse SDD row below is
+            # compute-bounded by the dense shape and runs to density 1.0
+            if verbose:
+                print(f"# density {density:.4f}: esc skipped "
+                      f"(flops {flops} > budget)", flush=True)
+        else:
+            def dry_step(bump):
+                # symbolic_flops reads only structure (col_idx / row_ptr /
+                # nnz), so a value perturbation would be DCE'd and the
+                # probe hoisted out of the timing loop.  Instead perturb
+                # col_idx by a runtime-zero term derived from bump: the
+                # flop count gathers through col_idx, so the probe is live
+                # and loop-variant.
+                zero_i32 = (bump * 1e-30).astype(jnp.int32)
+                q2 = dataclasses.replace(
+                    q_csr, col_idx=q_csr.col_idx + zero_i32)
+                return symbolic_flops(q2, kt_csr).astype(jnp.float32)
 
-        dry = fused_loop_time(dry_step, reps=step_reps, iters=iters)
-        c = spgemm(q_csr, kt_csr, cap)
+            dry = fused_loop_time(dry_step, reps=step_reps, iters=iters)
+            c = spgemm(q_csr, kt_csr, cap)
 
-        def attn_step(bump):
-            q2 = dataclasses.replace(
-                q_csr, values=(q_csr.values[0] + bump * 1e-30,)
+            def attn_step(bump):
+                q2 = dataclasses.replace(
+                    q_csr, values=(q_csr.values[0] + bump * 1e-30,)
+                )
+                out = spgemm(q2, kt_csr, cap)
+                return out.values[0][0]
+
+            attn = fused_loop_time(attn_step, reps=step_reps, iters=iters)
+            v_nz = int(c.nnz)
+            row = (
+                f"esc,{density:.4f},{q_nz},{k_nz},{v_nz},"
+                f"{_csr_mem_bytes(kt_csr)},{_csr_mem_bytes(q_csr)},"
+                f"{_csr_mem_bytes(c)},"
+                f"{attn*1e6:.0f},{gen_time*1e6:.0f},{dry*1e6:.0f}"
             )
-            out = spgemm(q2, kt_csr, cap)
-            return out.values[0][0]
-
-        attn = fused_loop_time(attn_step, reps=step_reps, iters=iters)
-        v_nz = int(c.nnz)
-        row = (
-            f"esc,{density:.4f},{q_nz},{k_nz},{v_nz},"
-            f"{_csr_mem_bytes(kt_csr)},{_csr_mem_bytes(q_csr)},{_csr_mem_bytes(c)},"
-            f"{attn*1e6:.0f},{gen_time*1e6:.0f},{dry*1e6:.0f}"
-        )
-        out.append(row)
-        if verbose:
-            print(row, flush=True)
+            out.append(row)
+            if verbose:
+                print(row, flush=True)
 
         # Pallas block-sparse SDD race (the reference Chunked competitor,
         # src/main.rs:313): block structure built once per density; the

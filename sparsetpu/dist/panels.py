@@ -11,9 +11,17 @@ steps every (A-entry, B-row) pair has met exactly once; one local
 sort/compress turns the accumulated streams into the output row block.
 
 The permute of step t+1 and the expansion against panel t are independent
-ops in one jit, so XLA schedules the ICI transfer concurrently with local
-compute — the overlap the reference gets from rayon work-stealing
+ops in one jit (both read the held panel; neither reads the other's
+output), so the compiler may schedule the ICI transfer concurrently with
+local compute — the overlap the reference gets from rayon work-stealing
 (src/graph_csr.rs:350-484) re-expressed as a collective pipeline.
+Overlap evidence is backend-specific: the XLA:CPU virtual mesh lowers
+ppermute to synchronous ``collective-permute`` (verified by HLO
+inspection — no start/done pairs exist on that backend), while XLA:TPU
+lowers it to async ``collective-permute-(start|done)`` pairs that its
+latency-hiding scheduler moves apart; with a single physical chip there
+is no multi-chip TPU HLO to inspect here, so the TPU-side overlap is by
+construction (dataflow independence), not yet by measurement.
 
 All shapes static: per-step expansion capacity = max over (device, panel)
 pairs of the per-panel flop count, from the sharded symbolic pass.
@@ -90,9 +98,9 @@ def _expand_against_panel(sr, a_rows, a_cols, a_vals, valid_a,
     )
     valid_e = t < total
     src = jnp.clip(src, 0, cap_a - 1)
-    rank = t - (cum[src] - counts[src])
-    p_start = p_rp[k_loc[src]]
-    p_pos = jnp.clip(p_start + rank, 0, p_ci.shape[0] - 1)
+    # per-entry fused shift (see ops/spgemm.expand_products)
+    shift = p_rp[k_loc] - (cum - counts)
+    p_pos = jnp.clip(t + shift[src], 0, p_ci.shape[0] - 1)
 
     i = jnp.where(valid_e, a_rows[src], n_rows_local)
     j = jnp.where(valid_e, p_ci[p_pos], INT32_SENTINEL)

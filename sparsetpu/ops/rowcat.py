@@ -88,8 +88,11 @@ def shared_stream(a: SparseCSR, b: SparseCSR, cap_g: int):
     src = segments.repeat_index(
         starts, jnp.arange(cap_a, dtype=jnp.int32), cap_g
     )
+    # per-entry fused shift: b_pos = slot + shift[e] — one gather instead
+    # of the cincl/counts/a_cols/row_ptr chains per padded slot
+    shift = b.row_ptr[a_cols] - (cincl - counts)
     ok = cincl[-1] <= cap_g  # host sizes cap_g exactly; belt-and-braces
-    return counts, cincl, cin0, src, a_cols, ok
+    return counts, cincl, cin0, src, shift, ok
 
 
 def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
@@ -104,7 +107,7 @@ def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
     sr = a.sr
     n = a.n_rows
     cap_a = a.capacity
-    counts, cincl, cin0, src, a_cols, stream_ok = shared
+    counts, cincl, cin0, src, shift, stream_ok = shared
     cap_g = src.shape[0]
     row_valid = rows < n
     rsafe = jnp.clip(rows, 0, n - 1)
@@ -120,8 +123,7 @@ def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
     ok_rl = l[None, :] < fr_sel[:, None]
     src_pad = jnp.clip(off_r[:, None] + l[None, :], 0, cap_g - 1)
     e = jnp.clip(src[src_pad], 0, cap_a - 1)
-    rank = src_pad - (cincl[e] - counts[e])
-    b_pos = jnp.clip(b.row_ptr[a_cols[e]] + rank, 0, b.capacity - 1)
+    b_pos = jnp.clip(src_pad + shift[e], 0, b.capacity - 1)
     cols_p = jnp.where(ok_rl, b.col_idx[b_pos], INT32_SENTINEL)
     v_p = sr.mul(sr.gather(a.values, e), sr.gather(b.values, b_pos))
     limbs_p = sr.where(ok_rl, v_p, sr.zeros(ok_rl.shape))
@@ -213,8 +215,8 @@ def _esc_rows(a: SparseCSR, b: SparseCSR, row_mask: jnp.ndarray, cap: int,
     )
     ok = t < total
     src = jnp.clip(src, 0, cap_a - 1)
-    rank = t - (cincl[src] - counts[src])
-    b_pos = jnp.clip(b.row_ptr[a_cols[src]] + rank, 0, b.capacity - 1)
+    shift = b.row_ptr[a_cols] - (cincl - counts)
+    b_pos = jnp.clip(t + shift[src], 0, b.capacity - 1)
     i = jnp.where(ok, a_rows[src], a.n_rows)
     j = jnp.where(ok, b.col_idx[b_pos], INT32_SENTINEL)
     v = sr.mul(sr.gather(a.values, src), sr.gather(b.values, b_pos))

@@ -92,10 +92,11 @@ def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
     )
     valid_e = t < total
     src = jnp.clip(src, 0, a.capacity - 1)
-    offset = cum[src] - counts[src]
-    rank = t - offset
-    b_start = b.row_ptr[a_cols[src]]
-    b_pos = jnp.clip(b_start + rank, 0, b.capacity - 1)
+    # per-entry fused shift: b_pos = t + (b_row_start - stream_start) —
+    # one gather instead of four (cum/counts/a_cols/row_ptr chains), at
+    # the measured ~100 M random-gathers/s every pass counts
+    shift = b.row_ptr[a_cols] - (cum - counts)
+    b_pos = jnp.clip(t + shift[src], 0, b.capacity - 1)
 
     i = jnp.where(valid_e, a_rows[src], a.n_rows)
     j = jnp.where(valid_e, b.col_idx[b_pos], INT32_SENTINEL)
