@@ -44,7 +44,8 @@ def _time_esc(a: SparseCSR, cap: int, reps: int, iters: int) -> float:
     return fused_loop_time(step, reps=reps, iters=iters)
 
 
-def _time_rowcat(a: SparseCSR, reps: int, iters: int) -> float:
+def _time_rowcat(a: SparseCSR, reps: int, iters: int,
+                 use_pallas: bool = False) -> float:
     """Fused-loop timing of the single-dispatch numeric phase with a fixed
     plan config — symmetric with the ESC timing (which also excludes its
     host-side capacity fetch).  The plan pass itself is one small program
@@ -52,12 +53,14 @@ def _time_rowcat(a: SparseCSR, reps: int, iters: int) -> float:
     from ..ops.rowcat import rowcat_config, rowcat_numeric
 
     fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, a)
-    rowcat_numeric(a, a, fr, cat, perm, cats, of_cap, cap_g, cap).check()
+    rowcat_numeric(a, a, fr, cat, perm, cats, of_cap, cap_g, cap,
+                   use_pallas=use_pallas).check()
 
     def step(bump):
         a2 = dataclasses.replace(
             a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
-        out = rowcat_numeric(a2, a, fr, cat, perm, cats, of_cap, cap_g, cap)
+        out = rowcat_numeric(a2, a, fr, cat, perm, cats, of_cap, cap_g, cap,
+                             use_pallas=use_pallas)
         return out.values[0][0].astype(jnp.float32)
 
     return fused_loop_time(step, reps=reps, iters=iters)
@@ -153,6 +156,8 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                 t = _time_esc(a, cap, reps, iters)
             elif algo == "rowcat":
                 t = _time_rowcat(a, reps, iters)
+            elif algo == "rowcat_pallas":
+                t = _time_rowcat(a, reps, iters, use_pallas=True)
             elif algo == "bcoo":
                 tb = _time_bcoo(a, reps, iters)
                 if tb is None:

@@ -96,7 +96,7 @@ def shared_stream(a: SparseCSR, b: SparseCSR, cap_g: int):
 
 
 def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
-                L: int, shared):
+                L: int, shared, use_pallas: bool = False):
     """One category: gather the selected rows' products straight into the
     (Rp, L) padded layout, batch-sort each row along lanes, merge
     duplicates (saturating), pack survivors first.
@@ -128,28 +128,37 @@ def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
     v_p = sr.mul(sr.gather(a.values, e), sr.gather(b.values, b_pos))
     limbs_p = sr.where(ok_rl, v_p, sr.zeros(ok_rl.shape))
 
-    # batched per-row sort by column (sentinels last)
-    out = jax.lax.sort([cols_p, *limbs_p], dimension=-1, num_keys=1,
-                       is_stable=False)
-    cols_s, limbs_s = out[0], tuple(out[1:])
+    from ..kernels import sortmerge
 
-    # merge duplicate columns per row: lane-axis segmented saturating scan
-    # (log2(L) combine passes; rows are independent segments by layout)
-    prev = jnp.pad(cols_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
-    head = cols_s != prev
-    totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
-    tail = jnp.concatenate(
-        [head[:, 1:], jnp.ones((head.shape[0], 1), bool)], axis=1
-    )
-    keep = tail & (cols_s != INT32_SENTINEL) & ~sr.is_zero(totals)
+    if use_pallas and sortmerge.available(L, len(limbs_p)) \
+            and cols_p.shape[0] % 8 == 0:
+        # fused VMEM sort+merge+pack (kernels/sortmerge.py): one HBM read
+        # + one write instead of sort->HBM->scan->HBM->sort
+        cols2, limbs2 = sortmerge.sortmerge_rows(cols_p, limbs_p, sr.name)
+        nr = jnp.sum(cols2 != INT32_SENTINEL, axis=1).astype(jnp.int32)
+    else:
+        # batched per-row sort by column (sentinels last)
+        out = jax.lax.sort([cols_p, *limbs_p], dimension=-1, num_keys=1,
+                           is_stable=False)
+        cols_s, limbs_s = out[0], tuple(out[1:])
 
-    # pack survivors first (second batched sort on keyed columns)
-    keyed = jnp.where(keep, cols_s, INT32_SENTINEL)
-    tot2 = tuple(jnp.where(keep, x, 0) for x in totals)
-    out2 = jax.lax.sort([keyed, *tot2], dimension=-1, num_keys=1,
-                        is_stable=False)
-    cols2, limbs2 = out2[0], tuple(out2[1:])
-    nr = jnp.sum(keep, axis=1).astype(jnp.int32)
+        # merge duplicate columns per row: lane-axis segmented saturating
+        # scan (log2(L) combine passes; rows are independent by layout)
+        prev = jnp.pad(cols_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
+        head = cols_s != prev
+        totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
+        tail = jnp.concatenate(
+            [head[:, 1:], jnp.ones((head.shape[0], 1), bool)], axis=1
+        )
+        keep = tail & (cols_s != INT32_SENTINEL) & ~sr.is_zero(totals)
+
+        # pack survivors first (second batched sort on keyed columns)
+        keyed = jnp.where(keep, cols_s, INT32_SENTINEL)
+        tot2 = tuple(jnp.where(keep, x, 0) for x in totals)
+        out2 = jax.lax.sort([keyed, *tot2], dimension=-1, num_keys=1,
+                            is_stable=False)
+        cols2, limbs2 = out2[0], tuple(out2[1:])
+        nr = jnp.sum(keep, axis=1).astype(jnp.int32)
     # overflow guard: products dropped if the global stream overflowed
     nr = jnp.where(stream_ok, nr, -1)
     return cols2, limbs2, nr
@@ -252,7 +261,7 @@ def rowcat_config(a: SparseCSR, b: SparseCSR,
             f"expansion of {int(flops_per.sum())} products too large")
     offsets = np.concatenate([[0], np.cumsum(rows_per)]).astype(np.int64)
     cats = tuple(
-        (THRESHOLDS[c], _pow2(rows_per[c]), int(rows_per[c]),
+        (THRESHOLDS[c], max(_pow2(rows_per[c]), 8), int(rows_per[c]),
          int(offsets[c]))
         for c in range(n_cats - 1) if rows_per[c] > 0
     )
@@ -262,9 +271,11 @@ def rowcat_config(a: SparseCSR, b: SparseCSR,
     return fr, cat, perm, cats, of_cap, cap_g, cap
 
 
-@partial(jax.jit, static_argnames=("cats", "of_cap", "cap_g", "out_cap"))
+@partial(jax.jit, static_argnames=("cats", "of_cap", "cap_g", "out_cap",
+                                   "use_pallas"))
 def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
-                   cats, of_cap: int, cap_g: int, out_cap: int) -> SparseCSR:
+                   cats, of_cap: int, cap_g: int, out_cap: int,
+                   use_pallas: bool = False) -> SparseCSR:
     """Device half: every per-category numeric pass, the overflow ESC
     fallback, and the final assembly fused into ONE program — the
     host-visible dispatch count is what dominates a multi-kernel pipeline
@@ -294,7 +305,8 @@ def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
         # pow2 padding would otherwise leak the next category's rows into
         # this slice — mask the tail to the invalid row id
         rows_c = jnp.where(jnp.arange(rp_c) < r_c, rows_c, jnp.int32(n))
-        cols2, limbs2, nr = numeric_cat(a, b, rows_c, fr, L, shared)
+        cols2, limbs2, nr = numeric_cat(a, b, rows_c, fr, L, shared,
+                                        use_pallas=use_pallas)
         slab_cols.append(cols2.reshape(-1))
         slab_limbs.append(tuple(x.reshape(-1) for x in limbs2))
         slab_nr.append(nr)
@@ -336,7 +348,8 @@ def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
 
 
 def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
-                  out_cap: Optional[int] = None) -> SparseCSR:
+                  out_cap: Optional[int] = None,
+                  use_pallas: Optional[bool] = None) -> SparseCSR:
     """C = A x B via on-device row categorization + per-category batched
     numeric kernels.  Host involvement: one (n_cats, 2) stats fetch to size
     the static shapes (the same two-pass role as spgemm_auto's flop
@@ -344,5 +357,8 @@ def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
     count exceeds the largest slab threshold take the sort-based ESC
     kernel (disjoint row support; merged with spadd)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, b, out_cap)
-    return rowcat_numeric(a, b, fr, cat, perm, cats, of_cap, cap_g, cap)
+    return rowcat_numeric(a, b, fr, cat, perm, cats, of_cap, cap_g, cap,
+                          use_pallas=use_pallas)

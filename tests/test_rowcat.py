@@ -120,3 +120,13 @@ def test_rowcat_overflow_row_via_esc():
     got = spgemm_rowcat(a, a).check()
     want = spgemm_auto(a, a, kernel="esc")
     _assert_equal(got, want)
+
+
+def test_rowcat_pallas_sortmerge_agrees():
+    """use_pallas=True routes eligible categories through the VMEM
+    sort-merge kernel (interpret mode on CPU) — must agree bit-exactly."""
+    coo = datasets.power_law(300, m_per_node=6, seed=4)
+    a = _csr(coo)
+    got = spgemm_rowcat(a, a, use_pallas=True).check()
+    want = spgemm_rowcat(a, a, use_pallas=False).check()
+    _assert_equal(got, want)
