@@ -272,8 +272,6 @@ def run_chain_pallas(
         raise OverflowError("pallas chain exceeded f32 exact range")
 
     def _time(steps):
-        if steps == 0:
-            return 0.0
         float(timed_chain(p0, 0.0, steps))  # compile + warm
         best = float("inf")
         for it in range(iters):
@@ -282,9 +280,11 @@ def run_chain_pallas(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # per-step differentials: time chains of length 1..k, subtract.
-    # k extra timed chains cost seconds of TPU time and make every row a
-    # real measurement instead of a flat average.
+    # per-step differentials: time chains of length 0..k, subtract.
+    # the 0-step chain measures the fixed dispatch+sync floor (~30 ms on
+    # the tunnel rig), so the A^2 differential doesn't absorb it; k extra
+    # timed chains cost seconds of TPU time and make every row a real
+    # measurement instead of a flat average.
     prefix = [_time(s) for s in range(k + 1)]
 
     results: List[ChainStep] = []

@@ -94,9 +94,16 @@ def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
 
 def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
         power_law_sides=(27000,), algos=("esc", "rowcat"),
-        reps: int = 16, iters: int = 2, verbose: bool = True) -> str:
+        reps: int = 16, iters: int = 2, verbose: bool = True,
+        out_path: str = None) -> str:
     rows: List[str] = ["case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,"
                        "mproducts_per_s"]
+
+    def _flush():
+        # incremental write: killed sweeps keep partial results
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write("\n".join(rows) + "\n")
     if verbose:
         print(rows[0], flush=True)
 
@@ -148,6 +155,7 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                     line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
                             f"esc,DNF_compile,0.0")
                     rows.append(line)
+                    _flush()
                     if verbose:
                         print(line, flush=True)
                     continue
@@ -168,6 +176,7 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
             line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},{algo},"
                     f"{t:.6f},{flops / t / 1e6:.1f}")
             rows.append(line)
+            _flush()
             if verbose:
                 print(line, flush=True)
     return "\n".join(rows) + "\n"
@@ -187,9 +196,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     from . import configure_cache
     configure_cache()
-    csv = run(sides=tuple(args.sides), e_per_n=tuple(args.e_per_n),
-              algos=tuple(args.algos), reps=args.reps)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    csv = run(sides=tuple(args.sides), e_per_n=tuple(args.e_per_n),
+              algos=tuple(args.algos), reps=args.reps, out_path=args.out)
     with open(args.out, "w") as f:
         f.write(csv)
 

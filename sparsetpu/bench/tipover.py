@@ -78,7 +78,8 @@ def dense_baseline(shape, iters: int = 3, reps: int = 64) -> float:
 
 def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
                  max_flops: int = 1 << 27, per_decade: int = 4,
-                 reps: int = 64, verbose: bool = True) -> str:
+                 reps: int = 64, verbose: bool = True,
+                 out_path: str = None) -> str:
     """One GPT config: dense baseline + density sweep. Returns CSV text.
 
     ``per_decade`` controls the log-density grid (the reference uses 4;
@@ -92,8 +93,16 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
     dense_t = dense_baseline(shape, iters=iters, reps=reps)
     out = [f"ref_time={dense_t*1e6:.0f} µs blas_time={dense_t*1e6:.0f} µs "
            f"n_weights={n_weights} total_mem={3*n_weights*4}"]
+
+    def _flush():
+        # incremental write: a killed sweep keeps its partial results
+        # (reference discipline: per-step std::fs::write, src/main.rs:194)
+        if out_path:
+            with open(out_path, "w") as f:
+                f.write("\n".join(out) + "\n")
     header = "esc,density,q_nz,k_nz,v_nz,mem_k,mem_q,mem_v,attn_time,gen_time,attn_dry"
     out.append(header)
+    _flush()
     if verbose:
         print(out[0], flush=True)
         print(header, flush=True)
@@ -156,6 +165,7 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
                 f"{attn*1e6:.0f},{gen_time*1e6:.0f},{dry*1e6:.0f}"
             )
             out.append(row)
+            _flush()
             if verbose:
                 print(row, flush=True)
 
@@ -190,6 +200,7 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
             f"{sdd_t*1e6:.0f},{sdd_gen*1e6:.0f},0"
         )
         out.append(row)
+        _flush()
         if verbose:
             print(row, flush=True)
     return "\n".join(out) + "\n"
@@ -236,9 +247,10 @@ def main(argv=None):
         cfg = GPT_CONFIGS[ci]
         print(f"# config {ci}: batch={cfg[0]} seq={cfg[1]} heads={cfg[2]} "
               f"emb={cfg[3]}", flush=True)
-        csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops,
-                           per_decade=args.per_decade, reps=args.reps)
         path = os.path.join(args.out_dir, f"tipover_results_{ci}.csv")
+        csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops,
+                           per_decade=args.per_decade, reps=args.reps,
+                           out_path=path)
         with open(path, "w") as f:
             f.write(csv)
         x = crossover_density(csv)
