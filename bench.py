@@ -23,6 +23,10 @@ def main():
                         help="write a jax.profiler trace to this directory "
                              "(the reference's hand-rolled Instant spans "
                              "become proper device traces)")
+    parser.add_argument("--rows-per-tile", type=int, default=8,
+                        help="pallas kernel output-tile height (tuning knob; "
+                             "the step is DMA-issue-rate bound so this mostly "
+                             "shifts VMEM usage)")
     parser.add_argument("--no-verify", action="store_true",
                         help="skip the native-oracle agreement check "
                              "(reference discipline is agreement-then-time, "
@@ -82,7 +86,8 @@ def main():
         jax.profiler.start_trace(args.profile)
 
     if args.algo == "pallas":
-        results = run_chain_pallas(a, max_step=args.steps, iters=args.iters)
+        results = run_chain_pallas(a, max_step=args.steps, iters=args.iters,
+                                   rows_per_tile=args.rows_per_tile)
     elif args.algo == "rowcat":
         results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "dense":

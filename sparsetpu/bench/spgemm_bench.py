@@ -50,20 +50,50 @@ def _time_rowcat(a: SparseCSR, reps: int, iters: int,
     plan config — symmetric with the ESC timing (which also excludes its
     host-side capacity fetch).  The plan pass itself is one small program
     + one tunnel sync per product in real use."""
-    from ..ops.rowcat import rowcat_config, rowcat_numeric
+    from ..ops.rowcat import (FUSE_MAX_CAP, _rowcat_unfused, rowcat_config,
+                              rowcat_numeric)
 
     fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, a)
-    rowcat_numeric(a, a, fr, cat, perm, cats, of_cap, cap_g, cap,
-                   use_pallas=use_pallas).check()
+    if cap_g <= FUSE_MAX_CAP:
+        rowcat_numeric(a, a, fr, cat, perm, cats, of_cap, cap_g, cap,
+                       use_pallas=use_pallas).check()
 
-    def step(bump):
-        a2 = dataclasses.replace(
-            a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
-        out = rowcat_numeric(a2, a, fr, cat, perm, cats, of_cap, cap_g, cap,
-                             use_pallas=use_pallas)
-        return out.values[0][0].astype(jnp.float32)
+        def step(bump):
+            a2 = dataclasses.replace(
+                a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
+            out = rowcat_numeric(a2, a, fr, cat, perm, cats, of_cap, cap_g,
+                                 cap, use_pallas=use_pallas)
+            return out.values[0][0].astype(jnp.float32)
 
-    return fused_loop_time(step, reps=reps, iters=iters)
+        return fused_loop_time(step, reps=reps, iters=iters)
+
+    # large shapes run the per-category dispatch path (the fused program
+    # exceeds the remote compiler); timing is per-call wall clock —
+    # dispatches within a call pipeline asynchronously, the final
+    # block_until_ready is the one sync.  The runtime dedups repeated
+    # identical dispatches, so each call perturbs a guaranteed-padding
+    # value slot (capacity extended by 8; padded slots are masked out of
+    # every kernel) to make the argument bytes distinct.
+    a_pad = a.with_capacity(a.capacity + 8)
+
+    def call(k):
+        v0 = a_pad.values[0].at[-1].set(
+            jnp.asarray(k, a_pad.values[0].dtype))
+        a2 = dataclasses.replace(a_pad, values=(v0, *a_pad.values[1:]))
+        out = _rowcat_unfused(a2, a, fr, cat, perm, cats, of_cap, cap_g,
+                              cap, use_pallas)
+        jax.block_until_ready(out.nnz)
+        return out
+
+    call(0).check()  # warm every per-category jit
+    best = float("inf")
+    n_calls = max(reps // 4, 2)
+    for it in range(max(iters, 1)):
+        t0 = time.perf_counter()
+        for j in range(n_calls):
+            call(it * n_calls + j + 1)
+        best = min(best, (time.perf_counter() - t0) / n_calls)
+    return best
 
 
 def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:

@@ -347,18 +347,99 @@ def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
     return result
 
 
+# above this global stream capacity the single fused program takes the
+# remote TPU compiler tens of minutes (observed at cap_g = 4.2M); split
+# into per-category programs instead — a few extra dispatches, each
+# individually compilable
+FUSE_MAX_CAP = 1 << 21
+
+_shared_stream_jit = jax.jit(shared_stream, static_argnames=("cap_g",))
+_numeric_cat_jit = jax.jit(numeric_cat,
+                           static_argnames=("L", "use_pallas"))
+
+
+def _rowcat_unfused(a: SparseCSR, b: SparseCSR, fr, cat, perm, cats,
+                    of_cap: int, cap_g: int, out_cap: int,
+                    use_pallas: bool) -> SparseCSR:
+    """Per-category dispatches (compile-bounded path for large shapes)."""
+    sr = a.sr
+    n = a.n_rows
+    n_cats = len(THRESHOLDS) + 1
+    overflow = None
+    if of_cap > 0:
+        overflow = _esc_rows(a, b, cat == n_cats - 1, of_cap, of_cap)
+    if not cats:
+        return overflow if overflow is not None else SparseCSR.empty(
+            n, b.n_cols, max(out_cap, 1), sr)
+
+    max_rp = max(rp for (_, rp, _, _) in cats)
+    perm_pad = jnp.concatenate([perm, jnp.full((max_rp,), n, jnp.int32)])
+    shared = _shared_stream_jit(a, b, cap_g=cap_g)
+
+    slab_cols, slab_limbs, slab_nr, slab_rows, slab_L = [], [], [], [], []
+    for L, rp_c, r_c, off in cats:
+        rows_c = jnp.where(jnp.arange(rp_c) < r_c,
+                           perm_pad[off: off + rp_c], jnp.int32(n))
+        cols2, limbs2, nr = _numeric_cat_jit(a, b, rows_c, fr, L, shared,
+                                             use_pallas=use_pallas)
+        slab_cols.append(cols2.reshape(-1))
+        slab_limbs.append(tuple(x.reshape(-1) for x in limbs2))
+        slab_nr.append(nr)
+        slab_rows.append(rows_c)
+        slab_L.append(L)
+
+    cols_concat = jnp.concatenate(slab_cols)
+    limbs_concat = tuple(
+        jnp.concatenate([s[li] for s in slab_limbs])
+        for li in range(sr.nlimbs)
+    )
+    base_of_row = jnp.zeros((n,), jnp.int32)
+    nr_full = jnp.zeros((n,), jnp.int32)
+    base = 0
+    for rows_c, nr, L in zip(slab_rows, slab_nr, slab_L):
+        rp_c = rows_c.shape[0]
+        bases = base + jnp.arange(rp_c, dtype=jnp.int32) * L
+        idx = jnp.where(rows_c < n, rows_c, n)
+        base_of_row = base_of_row.at[idx].set(bases, mode="drop")
+        nr_full = nr_full.at[idx].set(nr, mode="drop")
+        base += rp_c * L
+
+    result = assemble(cols_concat, limbs_concat, base_of_row, nr_full,
+                      out_cap, n, b.n_cols, sr.name)
+    if overflow is not None:
+        from .spgemm import spadd
+
+        merged_cap = result.capacity + overflow.capacity
+        poisoned = (result.nnz < 0) | (overflow.nnz < 0)
+        merged = spadd(result.with_capacity(merged_cap),
+                       overflow.with_capacity(merged_cap),
+                       out_cap=merged_cap)
+        result = dataclasses.replace(
+            merged, nnz=jnp.where(poisoned, -1, merged.nnz).astype(jnp.int32)
+        )
+    return result
+
+
 def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
                   out_cap: Optional[int] = None,
-                  use_pallas: Optional[bool] = None) -> SparseCSR:
+                  use_pallas: Optional[bool] = None,
+                  fused: Optional[bool] = None) -> SparseCSR:
     """C = A x B via on-device row categorization + per-category batched
     numeric kernels.  Host involvement: one (n_cats, 2) stats fetch to size
     the static shapes (the same two-pass role as spgemm_auto's flop
-    fetch), then a single fused numeric dispatch.  Rows whose product
-    count exceeds the largest slab threshold take the sort-based ESC
-    kernel (disjoint row support; merged with spadd)."""
+    fetch), then the numeric phase — ONE fused dispatch below
+    FUSE_MAX_CAP (dispatch latency dominates small shapes), per-category
+    dispatches above it (compile time dominates large shapes).  Rows whose
+    product count exceeds the largest slab threshold take the sort-based
+    ESC kernel (disjoint row support; merged with spadd)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, b, out_cap)
-    return rowcat_numeric(a, b, fr, cat, perm, cats, of_cap, cap_g, cap,
-                          use_pallas=use_pallas)
+    if fused is None:
+        fused = cap_g <= FUSE_MAX_CAP
+    if fused:
+        return rowcat_numeric(a, b, fr, cat, perm, cats, of_cap, cap_g, cap,
+                              use_pallas=use_pallas)
+    return _rowcat_unfused(a, b, fr, cat, perm, cats, of_cap, cap_g, cap,
+                           use_pallas)

@@ -130,3 +130,12 @@ def test_rowcat_pallas_sortmerge_agrees():
     got = spgemm_rowcat(a, a, use_pallas=True).check()
     want = spgemm_rowcat(a, a, use_pallas=False).check()
     _assert_equal(got, want)
+
+
+def test_rowcat_unfused_agrees():
+    """fused=False (the compile-bounded large-shape path) must agree."""
+    coo = datasets.power_law(350, m_per_node=6, seed=5)
+    a = _csr(coo)
+    got = spgemm_rowcat(a, a, fused=False).check()
+    want = spgemm_rowcat(a, a, fused=True).check()
+    _assert_equal(got, want)
