@@ -44,20 +44,21 @@ def main():
     # stage 1: shared stream only
     def s1(bump):
         a2 = bumped(bump)
-        counts, cincl, cin0, src, a_cols, ok = rowcat.shared_stream(
+        counts, cincl, cin0, src, shift, ok = rowcat.shared_stream(
             a2, a, cap_g)
         return src[0].astype(jnp.float32) + cincl[-1].astype(jnp.float32)
 
     probe("stream", s1)
 
-    # helper to run numeric_cat prefix for the FIRST category only
-    L, rp_c, r_c, off = cats[0]
+    # helper to run numeric_cat prefixes for the LARGEST category (the
+    # one whose L admits the Pallas sort-merge A/B)
+    L, rp_c, r_c, off = cats[-1]
     rows_c = jnp.where(jnp.arange(rp_c) < r_c, perm[off: off + rp_c], nn)
 
     def padded(a2):
         sr = a2.sr
         shared = rowcat.shared_stream(a2, a, cap_g)
-        counts, cincl, cin0, src, a_cols, ok = shared
+        counts, cincl, cin0, src, shift, ok = shared
         rsafe = jnp.clip(rows_c, 0, nn - 1)
         off_r = cin0[a2.row_ptr[rsafe]]
         fr_sel = jnp.where(rows_c < nn, fr[rsafe], 0)
@@ -65,8 +66,7 @@ def main():
         ok_rl = l[None, :] < fr_sel[:, None]
         src_pad = jnp.clip(off_r[:, None] + l[None, :], 0, cap_g - 1)
         e = jnp.clip(src[src_pad], 0, a2.capacity - 1)
-        rank = src_pad - (cincl[e] - counts[e])
-        b_pos = jnp.clip(a.row_ptr[a_cols[e]] + rank, 0, a.capacity - 1)
+        b_pos = jnp.clip(src_pad + shift[e], 0, a.capacity - 1)
         cols_p = jnp.where(ok_rl, a.col_idx[b_pos], segments.INT32_SENTINEL)
         v_p = sr.mul(sr.gather(a2.values, e), sr.gather(a.values, b_pos))
         limbs_p = sr.where(ok_rl, v_p, sr.zeros(ok_rl.shape))
@@ -93,12 +93,23 @@ def main():
 
     probe("..+full_cat0", s4)
 
-    def s5(bump):
-        out = rowcat.rowcat_numeric(bumped(bump), a, fr, cat, perm, cats,
-                                    of_cap, cap_g, out_cap)
-        return out.values[0][0].astype(jnp.float32)
+    if cap_g <= rowcat.FUSE_MAX_CAP:
+        def s5(bump):
+            out = rowcat.rowcat_numeric(bumped(bump), a, fr, cat, perm,
+                                        cats, of_cap, cap_g, out_cap)
+            return out.values[0][0].astype(jnp.float32)
 
-    probe("full_numeric", s5)
+        probe("full_numeric", s5)
+
+    # Pallas sort-merge A/B on the first category's padded slab
+    from sparsetpu.kernels import sortmerge
+    if sortmerge.available(L, a.sr.nlimbs):
+        def s6(bump):
+            cols_p, limbs_p = padded(bumped(bump))
+            c2, l2 = sortmerge.sortmerge_rows(cols_p, limbs_p, a.sr.name)
+            return c2[0, 0].astype(jnp.float32) + l2[0][0, 0].astype(jnp.float32)
+
+        probe("..+pallas_sortmerge", s6)
 
 
 if __name__ == "__main__":
