@@ -67,3 +67,20 @@ def test_chain_configs():
     cfg = CHAIN_CONFIGS["torus30"]
     assert cfg.n == 27000 and cfg.n % cfg.block == 0
     assert cfg.half_width == 931
+
+
+def test_spgemm_surface_plot(tmp_path):
+    from sparsetpu.bench.report import try_plot_spgemm_surface
+
+    csv = "\n".join([
+        "case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,mproducts_per_s",
+        "er,1000,2,2000,4000,3900,esc,0.001,4.0",
+        "er,1000,2,2000,4000,3900,rowcat,0.002,2.0",
+        "er,27000,8,216000,1700000,1690000,esc,DNF_compile,0.0",
+        "er,27000,8,216000,1700000,1690000,rowcat,0.05,34.0",
+        "powerlaw,27000,8,216000,2000000,1900000,rowcat,0.06,33.0",
+    ]) + "\n"
+    out = str(tmp_path / "surface.png")
+    assert try_plot_spgemm_surface(csv, out)
+    import os
+    assert os.path.getsize(out) > 0
