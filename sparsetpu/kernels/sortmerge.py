@@ -51,10 +51,11 @@ def available(L: int, nlimbs: int) -> bool:
 
 def _roll(x, shift):
     # lane-axis circular shift; positive shift moves values to higher
-    # lanes.  jnp.roll in interpreter mode (pltpu.roll is Mosaic-only).
+    # lanes.  jnp.roll in interpreter mode (pltpu.roll is Mosaic-only and
+    # rejects negative shifts — normalize modulo the axis length).
     if _interpret():
         return jnp.roll(x, shift, 1)
-    return pltpu.roll(x, shift, 1)
+    return pltpu.roll(x, shift % x.shape[1], 1)
 
 
 def _cswap(cols, limbs, idx, d, asc):
