@@ -58,17 +58,24 @@ def _roll(x, shift):
     return pltpu.roll(x, shift % x.shape[1], 1)
 
 
-def _cswap(cols, limbs, idx, d, asc):
-    """One bitonic compare-exchange stage at distance d (XOR partners)."""
+def _cswap(cols, limbs, idx, d, k):
+    """One bitonic compare-exchange stage at distance d (XOR partners)
+    inside ascending/descending blocks of size k.
+
+    All mask logic stays as comparisons and boolean algebra — a select
+    *returning* a boolean vector makes Mosaic emit an unsupported
+    i8 -> i1 truncation."""
     lower = (idx & d) == 0
     pa_c = jnp.where(lower, _roll(cols, -d), _roll(cols, d))
     pa_l = tuple(
         jnp.where(lower, _roll(x, -d), _roll(x, d)) for x in limbs
     )
-    take_min = lower == asc
+    # take_min: position holds the min iff bit_d(idx) == bit_k(idx)
+    # (computed on integers — even i1 == i1 tempts the unsupported trunc)
+    take_min = (((idx // d) ^ (idx // k)) & 1) == 0
     # swap iff the partner belongs at this position; ties never swap, so
     # payloads move consistently on both sides of each pair
-    swap = jnp.where(take_min, cols > pa_c, cols < pa_c)
+    swap = (take_min & (cols > pa_c)) | (~take_min & (cols < pa_c))
     cols = jnp.where(swap, pa_c, cols)
     limbs = tuple(jnp.where(swap, p, x) for p, x in zip(pa_l, limbs))
     return cols, limbs
@@ -77,10 +84,9 @@ def _cswap(cols, limbs, idx, d, asc):
 def _bitonic(cols, limbs, idx, L):
     k = 2
     while k <= L:
-        asc = (idx & k) == 0
         j = k // 2
         while j >= 1:
-            cols, limbs = _cswap(cols, limbs, idx, j, asc)
+            cols, limbs = _cswap(cols, limbs, idx, j, k)
             j //= 2
         k *= 2
     return cols, limbs
@@ -120,9 +126,11 @@ def _kernel(sr_name, L, n_limbs, *refs):
     cols, limbs = _bitonic(cols, limbs, idx, L)
 
     # segment heads at column changes; merge runs with a segmented
-    # saturating Hillis-Steele scan along lanes
+    # saturating Hillis-Steele scan along lanes.  Masks live as int32 —
+    # Mosaic cannot roll/truncate i1 vectors ("Unsupported target
+    # bitwidth for truncation") — and convert to bool only inside selects.
     prev = jnp.where(idx == 0, jnp.int32(-1), _roll(cols, 1))
-    head = cols != prev
+    head = (cols != prev).astype(jnp.int32)
     flags = head
     vals = limbs
     s = 1
@@ -130,15 +138,18 @@ def _kernel(sr_name, L, n_limbs, *refs):
         f_l = _roll(flags, s)
         v_l = tuple(_roll(x, s) for x in vals)
         valid = idx >= s
-        f_l = jnp.where(valid, f_l, False)
+        f_l = jnp.where(valid, f_l, 0)
         v_l = tuple(jnp.where(valid, x, 0) for x in v_l)
         summed = _sat_add(sr_name, v_l, vals)
-        vals = tuple(jnp.where(flags, x, t) for x, t in zip(vals, summed))
+        vals = tuple(
+            jnp.where(flags != 0, x, t) for x, t in zip(vals, summed)
+        )
         flags = flags | f_l
         s *= 2
 
-    tail = jnp.where(idx == L - 1, True, _roll(head, -1))
-    keep = tail & (cols != INT32_SENTINEL) & ~_is_zero(sr_name, vals)
+    tail = jnp.where(idx == L - 1, jnp.int32(1), _roll(head, -1))
+    keep = (tail != 0) & (cols != INT32_SENTINEL) \
+        & ~_is_zero(sr_name, vals)
     keyed = jnp.where(keep, cols, INT32_SENTINEL)
     vals = tuple(jnp.where(keep, x, 0) for x in vals)
 
