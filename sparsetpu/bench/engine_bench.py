@@ -65,12 +65,14 @@ def run(n: int = 1024, nnz_per_row: int = 8, reps: int = 16,
         lambda bump: jnp.einsum("ab,bc->ac", x + bump * 1e-30, y,
                                 preferred_element_type=jnp.float32)[0, 0],
         reps=reps, iters=iters)
-    # engine call: planning happens per call on the host; jit cache warm
+    # engine call: planning happens per call on the host; jit cache warm.
+    # device-resident operands — feeding host arrays would time the
+    # tunnel transfer (~3 s for 4096^2), not the engine
     einsum("ab,bc->ac", [x, y], sr=F32SR)  # warm
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        (out,) = einsum("ab,bc->ac", [np.asarray(x), np.asarray(y)], sr=F32SR)
+        (out,) = einsum("ab,bc->ac", [x, y], sr=F32SR)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     emit(f"dense_matmul_{n}", "direct_mxu", t_direct, t_direct)

@@ -434,7 +434,11 @@ def spgemm_rowcat(a: SparseCSR, b: SparseCSR,
     ESC kernel (disjoint row support; merged with spadd)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # opt-in: the VMEM sort-merge kernel measured at parity with the
+        # XLA batched sort on the gather-bound workloads (the sort is not
+        # the bottleneck there), and its Mosaic compile at large L costs
+        # minutes — not worth paying on every default call
+        use_pallas = False
     fr, cat, perm, cats, of_cap, cap_g, cap = rowcat_config(a, b, out_cap)
     if fused is None:
         fused = cap_g <= FUSE_MAX_CAP

@@ -17,8 +17,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the host is single-core, so re-jitting the ESC
-# pipeline per capacity bucket dominates test time without it
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+# pipeline per capacity bucket dominates test time without it.  CPU tests
+# get their OWN cache dir: sharing with a concurrently-running TPU bench
+# produced a segfault in the cache reader (entries are disjoint across
+# backends anyway, so nothing is lost)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 try:
