@@ -348,10 +348,11 @@ def rowcat_numeric(a: SparseCSR, b: SparseCSR, fr, cat, perm,
 
 
 # above this global stream capacity the single fused program takes the
-# remote TPU compiler tens of minutes (observed at cap_g = 4.2M); split
+# remote TPU compiler tens of minutes (observed at cap_g = 4.2M; 2.1M
+# compiles in minutes); split
 # into per-category programs instead — a few extra dispatches, each
 # individually compilable
-FUSE_MAX_CAP = 1 << 21
+FUSE_MAX_CAP = 1 << 22
 
 _shared_stream_jit = jax.jit(shared_stream, static_argnames=("cap_g",))
 _numeric_cat_jit = jax.jit(numeric_cat,
