@@ -36,3 +36,16 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "long: long-running benchmark-style tests (reference long-tests feature)"
     )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Cap the suite's resident memory: the in-memory executable caches of
+    ~260 accumulated tests pushed the XLA:CPU compiler into a segfault on
+    the largest interpret-mode Pallas programs (deterministic at the same
+    test across runs).  The persistent on-disk cache still makes
+    recompiles cheap."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

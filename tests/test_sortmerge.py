@@ -53,7 +53,7 @@ def _random_case(R, L, n_cols, sr, seed, fill=0.7, sentinel_frac=0.3):
 
 
 @pytest.mark.parametrize("sr_name,L", [
-    ("u64", 128), ("u64", 256), ("u32", 128), ("f32", 512),
+    ("u64", 128), ("u64", 256), ("u32", 128), ("f32", 256),
 ])
 def test_sortmerge_matches_xla(sr_name, L):
     sr = by_name(sr_name)
