@@ -221,6 +221,7 @@ def main(argv=None):
                     default=[1000, 3375, 8000, 27000])
     ap.add_argument("--e-per-n", type=int, nargs="*", default=[2, 8, 32])
     ap.add_argument("--algos", nargs="*", default=["esc", "rowcat"])
+    ap.add_argument("--power-law-sides", type=int, nargs="*", default=[27000])
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--out", default="bench_out/spgemm_sweep.csv")
     args = ap.parse_args(argv)
@@ -228,6 +229,7 @@ def main(argv=None):
     configure_cache()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     csv = run(sides=tuple(args.sides), e_per_n=tuple(args.e_per_n),
+              power_law_sides=tuple(args.power_law_sides),
               algos=tuple(args.algos), reps=args.reps, out_path=args.out)
     with open(args.out, "w") as f:
         f.write(csv)
