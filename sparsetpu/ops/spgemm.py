@@ -141,13 +141,17 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
                 kernel: str = "auto") -> SparseCSR:
     """Host-driven SpGEMM: runs the symbolic pass, fetches the exact flop
     count, and self-routes to the best numeric kernel (the MagnusConfig
-    role, src/graph_magnus.rs:225-242):
+    role, src/graph_magnus.rs:225-242), per the measured round-2 sweep:
 
-      - small expansions: the single-dispatch sort-based ESC kernel
-        (dispatch-count-bound at this size);
-      - everything else: the row-categorized kernel (ops/rowcat.py), whose
-        per-category batched sorts replace the global sort and whose
-        overflow rows fall back to ESC internally.
+      - expansions up to ~2M products: the single-dispatch sort-based ESC
+        kernel — measured fastest at every size it compiles at (the
+        batched-sort alternative pays more gather passes than the global
+        sort costs);
+      - larger expansions: the row-categorized kernel (ops/rowcat.py) —
+        the monolithic ESC program stops *compiling* beyond ~2M-product
+        capacities on the remote TPU compiler, while rowcat's
+        per-category programs stay bounded; overflow (hub) rows fall back
+        to a row-masked ESC internally.
 
     ``kernel`` forces a path: "esc" | "rowcat" | "auto"."""
     flops = symbolic_flops_exact(a, b)
@@ -157,7 +161,7 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             "(int32 indexing / HBM); split the product or use a dense path"
         )
     if kernel == "auto":
-        kernel = "esc" if flops <= (1 << 16) else "rowcat"
+        kernel = "esc" if flops <= (1 << 21) else "rowcat"
     if kernel == "rowcat":
         from .rowcat import spgemm_rowcat
 
