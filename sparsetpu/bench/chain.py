@@ -36,16 +36,50 @@ class ChainStep:
     gflops: float
 
 
-def build_torus(dims: Sequence[int] = (30, 30, 30), density: float = 3.0 / 26.0,
-                seed: int = 42, sr: Semiring = U64) -> SparseCSR:
+@dataclass
+class HostCSR:
+    """Pure-numpy CSR build (no jax) — produced by build_torus_host so graph
+    generation AND the native-oracle verification can run in a host thread
+    while the main thread waits on the TPU pool claim (the attach can queue
+    for minutes; see bench.py)."""
+    row_ptr: np.ndarray
+    col_idx: np.ndarray
+    limbs: list
+    nnz: int
+    n: int
+    sr: Semiring
+
+    def vals_u64(self) -> np.ndarray:
+        lo = self.limbs[0][: self.nnz].astype(np.uint64)
+        if len(self.limbs) > 1:
+            lo = lo | (self.limbs[1][: self.nnz].astype(np.uint64) << np.uint64(32))
+        return lo
+
+    def to_device(self) -> SparseCSR:
+        return SparseCSR.from_host_arrays(
+            self.row_ptr, self.col_idx, self.limbs, self.nnz,
+            self.n, self.n, self.sr,
+        )
+
+
+def build_torus_host(dims: Sequence[int] = (30, 30, 30),
+                     density: float = 3.0 / 26.0, seed: int = 42,
+                     sr: Semiring = U64) -> HostCSR:
     coo = generate.lattice(list(dims), torus=True)
     if density < 1.0:
         coo = generate.thin(coo, density, seed=seed)
     rows, cols, vals, n = coo
+    row_ptr, col_idx, limbs, nnz = SparseCSR.host_csr_arrays(
+        rows, cols, vals, n, n, sr, capacity=_pow2(len(rows))
+    )
+    return HostCSR(row_ptr, col_idx, limbs, nnz, n, sr)
+
+
+def build_torus(dims: Sequence[int] = (30, 30, 30), density: float = 3.0 / 26.0,
+                seed: int = 42, sr: Semiring = U64) -> SparseCSR:
     # host-side build: graph generation is host-side anyway, and the device
     # COO sort round-trip costs minutes over a remote-compile tunnel
-    return SparseCSR.from_coo_host(rows, cols, vals, n, sr=sr,
-                                   capacity=_pow2(len(rows)))
+    return build_torus_host(dims, density, seed, sr).to_device()
 
 
 def run_chain(
@@ -199,6 +233,7 @@ def run_chain_pallas(
     iters: int = 3,
     rows_per_tile: int = 8,
     verbose: bool = True,
+    per_step: bool = True,
 ) -> List[ChainStep]:
     """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
     streamed HBM->VMEM per A-entry via a scalar-driven DMA ring — the
@@ -280,26 +315,33 @@ def run_chain_pallas(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    # per-step differentials: time chains of length 0..k, subtract.
+    # per-step differentials: time chains of length s, subtract adjacent.
     # the 0-step chain measures the fixed dispatch+sync floor (~30 ms on
-    # the tunnel rig), so the A^2 differential doesn't absorb it; k extra
-    # timed chains cost seconds of TPU time and make every row a real
-    # measurement instead of a flat average.
-    prefix = [_time(s) for s in range(k + 1)]
+    # the tunnel rig), so the A^2 differential doesn't absorb it.  With
+    # per_step=False only chains {k-1, k} are compiled+timed — the A^max
+    # differential the headline needs — because each prefix length is its
+    # own XLA program and a cold compile through the remote tunnel costs
+    # 60-300 s (the round-2 driver bench died on exactly this).
+    steps_to_time = list(range(k + 1)) if per_step else [k - 1, k]
+    prefix = {s: _time(s) for s in steps_to_time}
 
     results: List[ChainStep] = []
     for idx in range(k):
         step = idx + 2
-        dt = max(prefix[idx + 1] - prefix[idx], 1e-9)
+        timed = (idx in prefix) and (idx + 1 in prefix)
+        dt = (max(prefix[idx + 1] - prefix[idx], 1e-9) if timed
+              else float("nan"))
         nnz = int(nnzs[idx])
         fl = int(flops[idx])
         rec = ChainStep(step=step, nnz=nnz, flops=fl, seconds=dt,
-                        nnz_per_s=nnz / dt, gflops=2.0 * fl / dt / 1e9)
+                        nnz_per_s=nnz / dt if timed else float("nan"),
+                        gflops=2.0 * fl / dt / 1e9 if timed else float("nan"))
         results.append(rec)
         if verbose:
+            tstr = (f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M "
+                    f"gflops={rec.gflops:.2f}" if timed else "untimed")
             print(
-                f"A^{step} [pallas]: nnz={nnz} flops={fl} time={dt*1e3:.2f}ms "
-                f"nnz/s={rec.nnz_per_s/1e6:.1f}M gflops={rec.gflops:.2f} "
+                f"A^{step} [pallas]: nnz={nnz} flops={fl} {tstr} "
                 f"max={maxes[idx]:.0f}",
                 flush=True,
             )
@@ -347,6 +389,24 @@ def run_chain_rowcat(
     return results
 
 
+def native_chain_stats_host(row_ptr, col_idx, vals, n: int, max_step: int = 7):
+    """A^2..A^max on the native C++ oracle from host numpy CSR arrays —
+    no jax involvement, so it can run concurrently with the TPU attach."""
+    from .. import native
+
+    base = native.as_host_csr(
+        np.asarray(row_ptr, np.int64), np.asarray(col_idx, np.int32),
+        np.asarray(vals, np.uint64),
+    )
+    stats = []  # (step, nnz, max_value)
+    prev = base
+    for step in range(2, max_step + 1):
+        prev = native.spgemm(prev, base, n)
+        crp, cc, cv = prev
+        stats.append((step, int(crp[-1]), int(cv.max()) if len(cv) else 0))
+    return stats, prev
+
+
 def native_chain_stats(a: SparseCSR, max_step: int = 7):
     """Run the A^2..A^max chain on the native C++ oracle (exact u64
     saturating semiring) and return per-step stats plus the final CSR.
@@ -356,18 +416,8 @@ def native_chain_stats(a: SparseCSR, max_step: int = 7):
     full measured scale (30^3, 11.7M nnz — seconds of host time), not just
     the small CPU test graphs.
     """
-    from .. import native
-
     row_ptr, col_idx, vals = a.to_numpy()
-    base = native.as_host_csr(row_ptr.astype(np.int64), col_idx, vals)
-    n = a.n_rows
-    stats = []  # (step, nnz, max_value)
-    prev = base
-    for step in range(2, max_step + 1):
-        prev = native.spgemm(prev, base, n)
-        crp, cc, cv = prev
-        stats.append((step, int(crp[-1]), int(cv.max()) if len(cv) else 0))
-    return stats, prev
+    return native_chain_stats_host(row_ptr, col_idx, vals, a.n_rows, max_step)
 
 
 def chain_final_pallas(a: SparseCSR, max_step: int = 7,
@@ -396,17 +446,17 @@ def chain_final_pallas(a: SparseCSR, max_step: int = 7,
     return chain(p0, k)
 
 
-def verify_chain_against_native(a: SparseCSR, max_step: int = 7,
-                                sample_rows: int = 128) -> list:
-    """Assert the pallas chain agrees with the native oracle at full scale:
-    per-step nnz handled by the caller via the returned stats; here the
-    final step gets nnz + max + an exact value check on ``sample_rows``
-    leading rows.  Returns the native per-step stats for caller use."""
-    stats, (crp, cc, cv) = native_chain_stats(a, max_step)
-    p = chain_final_pallas(a, max_step)
+def verify_final_values(a: SparseCSR, native_final, max_step: int = 7,
+                        sample_rows: int = 128, rows_per_tile: int = 8):
+    """Exact value check of the pallas chain's final product against a
+    precomputed native-oracle CSR: global nnz + max, plus element-exact
+    agreement on ``sample_rows`` leading rows."""
+    crp, cc, cv = native_final
+    p = chain_final_pallas(a, max_step, rows_per_tile=rows_per_tile)
     dev_nnz = int(jax.device_get(jnp.count_nonzero(p)))
     dev_max = float(jax.device_get(jnp.max(p)))
-    _, want_nnz, want_max = stats[-1]
+    want_nnz = int(crp[-1])
+    want_max = int(cv.max()) if len(cv) else 0
     assert dev_nnz == want_nnz, (dev_nnz, want_nnz)
     assert int(dev_max) == want_max, (dev_max, want_max)
     m = min(sample_rows, a.n_rows)
@@ -418,6 +468,16 @@ def verify_chain_against_native(a: SparseCSR, max_step: int = 7,
     assert np.array_equal(got.astype(np.float64), want), (
         "pallas chain values disagree with native oracle in leading rows"
     )
+
+
+def verify_chain_against_native(a: SparseCSR, max_step: int = 7,
+                                sample_rows: int = 128) -> list:
+    """Assert the pallas chain agrees with the native oracle at full scale:
+    per-step nnz handled by the caller via the returned stats; here the
+    final step gets nnz + max + an exact value check on ``sample_rows``
+    leading rows.  Returns the native per-step stats for caller use."""
+    stats, final = native_chain_stats(a, max_step)
+    verify_final_values(a, final, max_step, sample_rows)
     return stats
 
 
@@ -442,8 +502,12 @@ def tuple_to_f32_dense(a: SparseCSR):
 
 
 def chain_csv(results: List[ChainStep]) -> str:
+    import math
+
     lines = ["step,nnz,flops,seconds,nnz_per_s,gflops"]
     for r in results:
+        if math.isnan(r.seconds):
+            continue  # untimed step (per_step=False fast path)
         lines.append(
             f"{r.step},{r.nnz},{r.flops},{r.seconds:.6f},{r.nnz_per_s:.1f},{r.gflops:.3f}"
         )

@@ -233,7 +233,7 @@ class SparseCSR:
         )
 
     @staticmethod
-    def from_coo_host(
+    def host_csr_arrays(
         rows,
         cols,
         vals,
@@ -241,11 +241,11 @@ class SparseCSR:
         n_cols: Optional[int] = None,
         sr: Semiring = U64,
         capacity: Optional[int] = None,
-    ) -> "SparseCSR":
-        """Host-side COO->CSR (numpy lexsort + saturating merge), then one
-        device_put.  Same semantics as from_coo; avoids the device sort
-        round-trip for host-generated graphs (generation is host-side in the
-        reference too, src/graph.rs:90-139)."""
+    ):
+        """Pure-numpy COO->CSR merge (no jax — safe to run in a thread while
+        the main thread blocks on TPU attach).  Returns
+        ``(row_ptr i32[n+1], col_idx i32[cap], limbs list[np arrays[cap]],
+        nnz)``; see from_coo_host for the device version."""
         n_cols = n_rows if n_cols is None else n_cols
         rows = np.asarray(rows, np.int64)
         cols = np.asarray(cols, np.int64)
@@ -279,19 +279,80 @@ class SparseCSR:
         row_ptr = np.zeros(n_rows + 1, np.int64)
         np.add.at(row_ptr, rows + 1, 1)
         row_ptr = np.cumsum(row_ptr).astype(np.int32)
-        limbs_np = sr.to_host_limbs(totals)
-        values = tuple(
-            jnp.asarray(np.concatenate([l, np.zeros(cap - nnz, l.dtype)]))
-            for l in limbs_np
-        )
+        limbs_np = [
+            np.concatenate([l, np.zeros(cap - nnz, l.dtype)])
+            for l in sr.to_host_limbs(totals)
+        ]
+        return row_ptr, col_idx, limbs_np, nnz
+
+    @staticmethod
+    def from_host_arrays(row_ptr, col_idx, limbs_np, nnz, n_rows: int,
+                         n_cols: int, sr: Semiring) -> "SparseCSR":
+        """Device_put of host_csr_arrays output."""
         return SparseCSR(
             row_ptr=jnp.asarray(row_ptr),
             col_idx=jnp.asarray(col_idx),
-            values=values,
+            values=tuple(jnp.asarray(l) for l in limbs_np),
             nnz=jnp.asarray(nnz, jnp.int32),
             n_rows=n_rows,
             n_cols=n_cols,
             sr_name=sr.name,
+        )
+
+    @staticmethod
+    def from_coo_host(
+        rows,
+        cols,
+        vals,
+        n_rows: int,
+        n_cols: Optional[int] = None,
+        sr: Semiring = U64,
+        capacity: Optional[int] = None,
+    ) -> "SparseCSR":
+        """Host-side COO->CSR (numpy lexsort + saturating merge), then one
+        device_put.  Same semantics as from_coo; avoids the device sort
+        round-trip for host-generated graphs (generation is host-side in the
+        reference too, src/graph.rs:90-139)."""
+        n_cols = n_rows if n_cols is None else n_cols
+        row_ptr, col_idx, limbs_np, nnz = SparseCSR.host_csr_arrays(
+            rows, cols, vals, n_rows, n_cols, sr, capacity
+        )
+        return SparseCSR.from_host_arrays(
+            row_ptr, col_idx, limbs_np, nnz, n_rows, n_cols, sr
+        )
+
+    @staticmethod
+    def from_dense_device(limbs, sr: Semiring, capacity: Optional[int] = None) -> "SparseCSR":
+        """Device-side dense (n, m) limb tuple -> SparseCSR with no host
+        round-trip beyond one scalar nnz sync (to size the static capacity;
+        pass ``capacity`` to avoid even that).  The flattened nonzero scan
+        yields (row, col) already sorted, so row_ptr comes from one
+        searchsorted instead of a full COO sort — the streaming-build role
+        of the reference's CsrBuilder (src/graph_csr_builder.rs:12-51)."""
+        limbs = tuple(jnp.asarray(l) for l in limbs)
+        n, m = limbs[0].shape
+        mask = limbs[0] != 0
+        for l in limbs[1:]:
+            mask = mask | (l != 0)
+        if capacity is None:
+            capacity = max(int(jnp.count_nonzero(mask)), 1)
+        flat = mask.reshape(-1)
+        idx = jnp.nonzero(flat, size=capacity, fill_value=n * m)[0]
+        valid = idx < n * m
+        safe = jnp.clip(idx, 0, n * m - 1)
+        r = jnp.where(valid, (safe // m).astype(jnp.int32), jnp.int32(n))
+        c = jnp.where(valid, (safe % m).astype(jnp.int32), INT32_SENTINEL)
+        vals = tuple(
+            jnp.where(valid, l.reshape(-1)[safe], jnp.zeros((), l.dtype))
+            for l in limbs
+        )
+        nnz = jnp.count_nonzero(valid).astype(jnp.int32)
+        row_ptr = jnp.searchsorted(
+            r, jnp.arange(n + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        return SparseCSR(
+            row_ptr=row_ptr, col_idx=c, values=vals, nnz=nnz,
+            n_rows=n, n_cols=m, sr_name=sr.name,
         )
 
     @staticmethod

@@ -40,7 +40,9 @@ def initialize(coordinator_address: Optional[str] = None,
         SPARSETPU_COORD=host0:1234 SPARSETPU_NPROC=2 SPARSETPU_PID=0 \
             python bench.py ...
     """
-    if jax.process_count() > 1:
+    # NOTE: must not probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    if jax.distributed.is_initialized():
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get(
         "SPARSETPU_COORD")

@@ -93,6 +93,9 @@ def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
     lowered = _try_grouped_matmul(parsed, out, operands, infos, dims, sr)
     if lowered is not None:
         return lowered
+    lowered = _try_spmm(parsed, out, operands, infos, dims, sr, out_format)
+    if lowered is not None:
+        return lowered
     lowered = _try_sparse_chain(parsed, out, operands, infos, dims, sr,
                                 out_format)
     if lowered is not None:
@@ -117,16 +120,59 @@ def _pack_output(dense, out, dims, sr: Semiring, out_format: str):
             f"sparse output requires a 2-D output, got {len(out)} axes",
         )
     limbs = dense if isinstance(dense, tuple) else (dense,)
-    arrs = [np.asarray(jax.device_get(l)) for l in limbs]
-    mask = np.zeros(arrs[0].shape, bool)
-    for a in arrs:
-        mask |= a != 0
-    r, c = np.nonzero(mask)
-    vals = tuple(jnp.asarray(a[r, c]) for a in arrs)
-    return SparseCSR.from_coo_device(
-        jnp.asarray(r, jnp.int32), jnp.asarray(c, jnp.int32), vals,
-        arrs[0].shape[0], arrs[0].shape[1], sr, max(len(r), 1),
-    )
+    # device-side pack: one scalar nnz sync, no host densify round-trip
+    return SparseCSR.from_dense_device(limbs, sr)
+
+
+# ---------------------------------------------------------------------------
+# tier 0.5: sparse x dense matmul / matvec -> SpMM kernel (dense result)
+# ---------------------------------------------------------------------------
+
+def _try_spmm(parsed, out, operands, infos, dims, sr, out_format: str):
+    """2-operand sparse x dense contraction patterns lowered to the SpMM
+    gather/segment-sum kernel (ops/spmm.py): ``ab,bc->ac``, ``ab,cb->ac``,
+    ``ba,bc->ac``, SpMV ``ab,b->a`` / ``b,ab->a`` and transposed variants —
+    the reference VM's SparseRowLoop-over-one-sparse-operand schedule
+    (linalg/src/einsum.rs:591-626).  f32 semiring; the dense operand never
+    round-trips through the host."""
+    if sr.name != "f32" or len(parsed.inputs) != 2:
+        return None
+    kinds = [infos[0][0], infos[1][0]]
+    if sorted(kinds) != ["dense", "sparse"]:
+        return None
+    si = kinds.index("sparse")
+    di = 1 - si
+    s_ix, d_ix = parsed.inputs[si], parsed.inputs[di]
+    if len(s_ix) != 2 or len(set(s_ix)) != 2:
+        return None
+    if len(d_ix) not in (1, 2) or len(set(d_ix)) != len(d_ix):
+        return None
+    shared = set(s_ix) & set(d_ix)
+    if len(shared) != 1:
+        return None
+    k = shared.pop()
+    if k in out:
+        return None
+    s_free = s_ix[0] if s_ix[1] == k else s_ix[1]
+    d_free = None
+    if len(d_ix) == 2:
+        d_free = d_ix[0] if d_ix[1] == k else d_ix[1]
+    expected = tuple(x for x in (s_free, d_free) if x is not None)
+    if len(out) != len(expected) or set(out) != set(expected):
+        return None
+
+    from ..ops.spmm import spmm_csr_dense
+
+    s = operands[si]
+    if s_ix[0] == k:  # contraction along sparse rows -> transpose (device)
+        s = s.transpose()
+    d = infos[di][2][0].astype(jnp.float32)
+    if len(d_ix) == 2 and d_ix[0] != k:  # contraction along dense cols
+        d = d.T
+    result = spmm_csr_dense(s, d)
+    if len(out) == 2 and out == (d_free, s_free):
+        result = result.T
+    return _pack_output(result, out, dims, sr, out_format)
 
 
 # ---------------------------------------------------------------------------
@@ -286,18 +332,8 @@ def _as_csr(op, info, sr: Semiring, transpose: bool) -> SparseCSR:
     limbs = info[2]
     if transpose:
         limbs = tuple(l.T for l in limbs)
-    n, m = limbs[0].shape
-    # densify host-side: engine fast path for dense operands mixed with sparse
-    mask = np.zeros((n, m), bool)
-    for l in limbs:
-        mask |= np.asarray(jax.device_get(l)) != 0
-    r, c = np.nonzero(mask)
-    vals = tuple(jnp.asarray(np.asarray(jax.device_get(l))[r, c]) for l in limbs)
-    cap = max(len(r), 1)
-    return SparseCSR.from_coo_device(
-        jnp.asarray(r, jnp.int32), jnp.asarray(c, jnp.int32), vals,
-        n, m, sr, cap,
-    )
+    # device-side sparsify (one scalar nnz sync for the static capacity)
+    return SparseCSR.from_dense_device(limbs, sr)
 
 
 # ---------------------------------------------------------------------------

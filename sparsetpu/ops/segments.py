@@ -21,11 +21,16 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..semiring import Semiring, Value
 
-INT32_SENTINEL = jnp.int32(0x7FFFFFFF)
+# np (not jnp) scalar: a module-level jnp constant would initialize the XLA
+# backend at import time, which breaks jax.distributed.initialize() in
+# multi-host processes (dist/multihost.py) — np.int32 interoperates with
+# every jnp op identically
+INT32_SENTINEL = np.int32(0x7FFFFFFF)
 
 
 def repeat_index(starts: jnp.ndarray, values: jnp.ndarray, length: int,

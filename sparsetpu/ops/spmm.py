@@ -82,6 +82,28 @@ def spmm_dense(cols, vals, local_rows, p, rows_per_chunk: int):
     return c[:n]
 
 
+@jax.jit
+def spmm_csr_dense(a: SparseCSR, d: jnp.ndarray) -> jnp.ndarray:
+    """C = A x D with A a 1-limb (f32) SparseCSR and D dense f32 of shape
+    (a.n_cols, m) or (a.n_cols,).  One gather of D rows by A's column
+    indices, scaled, segment-summed by row — never leaves the device.
+
+    This is the SpMM lowering target for the einsum planner's sparse x dense
+    matmul patterns (the reference VM walks the sparse operand's rows and
+    reads the dense operand directly, linalg/src/einsum.rs:591-626).
+    Exact for integer counts < 2^24 carried in f32.
+    """
+    valid = jnp.arange(a.capacity) < a.nnz
+    rows = jnp.where(valid, a.row_of_slot(), a.n_rows)
+    cols = jnp.where(valid, a.col_idx, 0)
+    v = jnp.where(valid, a.values[0].astype(jnp.float32), 0.0)
+    g = d[cols] * (v[:, None] if d.ndim == 2 else v)
+    out = jax.ops.segment_sum(
+        g, rows, num_segments=a.n_rows + 1, indices_are_sorted=True
+    )
+    return out[: a.n_rows]
+
+
 def dense_to_csr(c_dense, sr, capacity: Optional[int] = None) -> SparseCSR:
     """Host-side dense f32 -> SparseCSR on `sr` (validation/extraction)."""
     d = np.asarray(jax.device_get(c_dense))

@@ -224,6 +224,110 @@ def test_differential_sweep_long():
     print(f"\nlong einsum sweep: {n_checked} specs checked bit-exact")
 
 
+class TestSpMMLowering:
+    """Sparse x dense matmul/matvec specs lower to the SpMM gather kernel
+    (ops/spmm.py) with no host round-trip of the dense operand (reference
+    VM CSR x Dense schedule, linalg/src/einsum.rs:591-626)."""
+
+    def _pair(self, n, k, m, seed):
+        a = _rand_dense((n, k), seed)
+        b = _rand_dense((k, m), seed + 1)
+        return a, b
+
+    def test_sparse_dense_matmul(self):
+        a, b = self._pair(6, 7, 5, 20)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ab,bc->ac", [sa, b])
+        np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+    def test_dense_sparse_matmul(self):
+        a, b = self._pair(6, 7, 5, 22)
+        sb = SparseCSR.from_dense_numpy(b, sr=F32SR)
+        (got,) = einsum("ab,bc->ac", [a, sb])
+        np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+    def test_sparse_transposed(self):
+        a = _rand_dense((7, 6), 24)  # contract along sparse rows
+        b = _rand_dense((7, 5), 25)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ba,bc->ac", [sa, b])
+        np.testing.assert_array_equal(np.asarray(got), a.T @ b)
+
+    def test_dense_transposed_and_reversed_output(self):
+        a, b = _rand_dense((6, 7), 26), _rand_dense((5, 7), 27)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ab,cb->ca", [sa, b])
+        np.testing.assert_array_equal(np.asarray(got), (a @ b.T).T)
+
+    def test_spmv(self):
+        a = _rand_dense((6, 7), 28)
+        v = _rand_dense((7,), 29)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ab,b->a", [sa, v])
+        np.testing.assert_array_equal(np.asarray(got), a @ v)
+        (got2,) = einsum("b,ab->a", [v, sa])
+        np.testing.assert_array_equal(np.asarray(got2), a @ v)
+        (got3,) = einsum("a,ab->b", [_rand_dense((6,), 30), sa])
+        np.testing.assert_array_equal(
+            np.asarray(got3), _rand_dense((6,), 30) @ a
+        )
+
+    def test_sparse_output_format(self):
+        a, b = self._pair(6, 7, 5, 31)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ab,bc->ac", [sa, b], out_format="sparse")
+        assert isinstance(got, SparseCSR)
+        np.testing.assert_array_equal(got.to_dense_numpy(), a @ b)
+
+    def test_routing_hits_spmm_kernel(self, monkeypatch):
+        import sparsetpu.ops.spmm as spmm_mod
+
+        calls = []
+        real = spmm_mod.spmm_csr_dense
+        monkeypatch.setattr(
+            spmm_mod, "spmm_csr_dense",
+            lambda s, d: (calls.append(1), real(s, d))[1],
+        )
+        a, b = self._pair(4, 5, 3, 33)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        (got,) = einsum("ab,bc->ac", [sa, b])
+        assert calls, "sparse x dense matmul must route through the SpMM kernel"
+        np.testing.assert_array_equal(np.asarray(got), a @ b)
+
+
+class TestFromDenseDevice:
+    def test_matches_from_dense_numpy(self):
+        d = _rand_dense((7, 5), 40)
+        import jax.numpy as jnp
+
+        got = SparseCSR.from_dense_device((jnp.asarray(d),), F32SR)
+        want = SparseCSR.from_dense_numpy(d, sr=F32SR)
+        np.testing.assert_array_equal(got.to_dense_numpy(), want.to_dense_numpy())
+        assert int(got.nnz) == int(want.nnz)
+        rp_g, ci_g, v_g = got.to_numpy()
+        rp_w, ci_w, v_w = want.to_numpy()
+        np.testing.assert_array_equal(rp_g, rp_w)
+        np.testing.assert_array_equal(ci_g, ci_w)
+        np.testing.assert_array_equal(v_g, v_w)
+
+    def test_u64_limbs(self):
+        d = np.zeros((4, 4), np.uint64)
+        d[1, 2] = (1 << 40) + 3
+        d[3, 0] = 7
+        from sparsetpu.semiring import U64 as _U64
+
+        got = SparseCSR.from_dense_device(_U64.from_numpy(d), _U64)
+        np.testing.assert_array_equal(got.to_dense_numpy(), d)
+
+    def test_empty(self):
+        import jax.numpy as jnp
+
+        got = SparseCSR.from_dense_device(
+            (jnp.zeros((3, 3), jnp.float32),), F32SR
+        )
+        assert int(got.nnz) == 0
+
+
 class TestChainPlanner:
     """>= 3-operand matmul chains lower through pairwise SpGEMM with sparse
     intermediates (round-1 engine densified these through the loop-nest

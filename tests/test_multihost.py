@@ -31,6 +31,45 @@ def test_host_row_block_covers_rows():
     assert (start, stop) == (0, 1000)
 
 
+def test_two_process_localhost_smoke():
+    """The true multi-process path: 2 localhost CPU processes through
+    jax.distributed.initialize (via multihost.initialize env wiring),
+    pod_mesh over 2x2 virtual devices, row-sharded ESC SpGEMM with every
+    local shard checked bit-exact against the host oracle (BASELINE
+    config 5's '>= 2 hosts' analog without a pod)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = __file__.rsplit("/tests/", 1)[0] + "/scripts/multihost_smoke.py"
+    env = {k: v for k, v in __import__("os").environ.items()
+           if not k.startswith(("SPARSETPU_", "XLA_", "JAX_"))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid}" in out, out
+
+
 def test_panel_ring_on_pod_mesh():
     """The ring-exchange SpGEMM must run unchanged on the pod mesh (here:
     8 virtual devices of one host) — the mesh-generic contract that makes
