@@ -75,6 +75,11 @@ def main():
     parser.add_argument("--per-step", action="store_true",
                         help="time every chain prefix (k+1 XLA programs) "
                              "instead of just the A^max differential")
+    parser.add_argument("--reps", type=int, default=None,
+                        help="whole-chain repetitions fused per timed "
+                             "program (default 4; 32 with --quick so the "
+                             "prefix differential clears the ~30 ms host-"
+                             "sync noise floor at small scale)")
     parser.add_argument("--budget-seconds", type=float,
                         default=float(os.environ.get("SPARSETPU_BENCH_BUDGET",
                                                      3000)),
@@ -117,7 +122,13 @@ def main():
             log(f"native oracle chain: A^{args.steps} nnz={stats[-1][1]} "
                 f"max={stats[-1][2]} ({time.time()-t0:.1f}s)")
 
-    worker = threading.Thread(target=host_work)
+    def host_work_guarded():
+        try:
+            host_work()
+        except BaseException as e:  # surfaced after join — threads die silent
+            host_out["error"] = e
+
+    worker = threading.Thread(target=host_work_guarded)
     worker.start()
 
     import jax
@@ -126,6 +137,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     attach_tpu_or_reexec(args.budget_seconds)
     worker.join()
+    if "error" in host_out:
+        raise RuntimeError("host build/oracle thread failed") from host_out["error"]
     if "host_csr" not in host_out:
         raise RuntimeError("host build thread failed")
 
@@ -152,10 +165,17 @@ def main():
     if args.profile:
         jax.profiler.start_trace(args.profile)
 
+    reps = args.reps if args.reps is not None else (32 if args.quick else 4)
+    keep_final = {}
     if args.algo == "pallas":
+        # with oracle stats the timing path is ONE compiled program (traced
+        # loop bounds), so per-step prefix timing costs only runtime — the
+        # full differential table is affordable on the driver path
         results = run_chain_pallas(a, max_step=args.steps, iters=args.iters,
                                    rows_per_tile=args.rows_per_tile,
-                                   per_step=args.per_step)
+                                   per_step=args.per_step or verify,
+                                   reps=reps, keep_final=keep_final,
+                                   native_stats=host_out.get("native_stats"))
     elif args.algo == "rowcat":
         results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "dense":
@@ -174,10 +194,11 @@ def main():
         jax.profiler.stop_trace()
 
     native_stats = host_out.get("native_stats")
-    if native_stats is not None:
-        # per-step nnz agreement vs the oracle (free: nnz comes from the
-        # stats pass) BEFORE publishing the number
-        for rec, (step, want_nnz, _) in zip(results, native_stats):
+    if native_stats is not None and args.algo != "pallas":
+        # per-step nnz agreement vs the oracle BEFORE publishing the number.
+        # (the pallas path now *sources* its stats from the oracle — its
+        # device-side agreement check is verify_final_values below)
+        for rec, (step, want_nnz, *_rest) in zip(results, native_stats):
             assert rec.step == step and rec.nnz == want_nnz, (
                 f"A^{rec.step}: nnz {rec.nnz} != native {want_nnz}"
             )
@@ -210,7 +231,8 @@ def main():
 
         t0 = time.time()
         verify_final_values(a, host_out["native_final"], max_step=args.steps,
-                            rows_per_tile=args.rows_per_tile)
+                            rows_per_tile=args.rows_per_tile,
+                            p=keep_final.get("p"))
         log(f"value-level verification vs native oracle OK "
             f"({time.time()-t0:.1f}s)")
 

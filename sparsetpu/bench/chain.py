@@ -234,6 +234,9 @@ def run_chain_pallas(
     rows_per_tile: int = 8,
     verbose: bool = True,
     per_step: bool = True,
+    reps: int = 4,
+    keep_final: Optional[dict] = None,
+    native_stats: Optional[list] = None,
 ) -> List[ChainStep]:
     """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
     streamed HBM->VMEM per A-entry via a scalar-driven DMA ring — the
@@ -247,7 +250,20 @@ def run_chain_pallas(
     — the reference reports genuine per-k times (README.md:39-46) and so
     does this.  Timing inputs get a per-iteration bump so neither the
     runtime's result cache nor XLA loop-invariant motion can skip real
-    work."""
+    work.  ``reps`` whole-chain repetitions are fused into each timed
+    program so the adjacent-prefix differential is reps x one step — at
+    small (--quick) scales a single step is below the host-sync noise
+    floor and a 1-rep differential reads ~0.  ``keep_final``: pass a dict
+    to receive the final chain product under key "p" — lets verification
+    reuse it instead of compiling another k-step program.
+
+    ``native_stats``: per-step (step, nnz, max, flops) from the host C++
+    oracle.  When given, the device-side stats pass is SKIPPED — remote
+    compiles through the tunnel cost minutes per program (the round-2
+    driver bench died on them), and the oracle already has exact per-step
+    stats; the final product is still value-verified on device.  The whole
+    timing path is then ONE compiled program: ``steps``/``reps`` are traced
+    loop bounds, so every prefix length reuses the same executable."""
     from functools import partial as _partial
 
     from ..kernels import spmm_pallas as sp
@@ -285,35 +301,65 @@ def run_chain_pallas(
             nnzs = nnzs.at[i].set(jnp.count_nonzero(c).astype(jnp.int32))
             return (c, maxes, nnzs, flops)
 
-        _, maxes, nnzs, flops = jax.lax.fori_loop(
+        p, maxes, nnzs, flops = jax.lax.fori_loop(
             0, steps, body, (p, maxes, nnzs, flops)
         )
-        return maxes, nnzs, flops
+        return p, maxes, nnzs, flops
 
-    @_partial(jax.jit, static_argnames=("steps",))
-    def timed_chain(p, bump, steps: int):
+    @jax.jit
+    def timed_chain(p0, bump, steps, reps):
         # `bump` perturbs one input element so (a) the remote-execution
         # runtime cannot serve a cached result for repeated timing calls and
         # (b) XLA cannot hoist any step out of the loop — every step's input
-        # is data-dependent on the previous product.
-        p = p.at[0, 0, 0].add(bump)
-        p = jax.lax.fori_loop(0, steps, lambda i, q: _step(q), p)
-        return p[0, 0, 0]
+        # is data-dependent on the previous product.  The whole chain runs
+        # `reps` times (each rep distinctly perturbed, results chained into
+        # the accumulator) so the prefix differential carries reps steps.
+        # `steps` and `reps` are TRACED loop bounds: one executable serves
+        # every (prefix length, rep count) — the driver path compiles ONE
+        # program instead of one per prefix.  A (bump=0, reps=1) call leaves
+        # p0 bit-exactly unperturbed, so its returned product doubles as the
+        # verification product.
+        def rep(r, carry):
+            acc, _ = carry
+            p = p0.at[0, 0, 0].add(bump + jnp.float32(r) + acc * 1e-30)
+            p = jax.lax.fori_loop(0, steps, lambda i, q: _step(q), p)
+            return acc + p[0, 0, 0], p
 
-    maxes, nnzs, flops = map(
-        np.asarray, map(jax.device_get, stats_chain(p0, k))
-    )
-    if float(maxes.max()) >= float(1 << 24) - 8:
-        raise OverflowError("pallas chain exceeded f32 exact range")
+        return jax.lax.fori_loop(0, reps, rep, (jnp.float32(0.0), p0))
+
+    if native_stats is not None:
+        # oracle-driven stats: no device stats program at all
+        assert len(native_stats) == k, (len(native_stats), k)
+        nnzs = np.array([s[1] for s in native_stats], np.int64)
+        maxes = np.array([s[2] for s in native_stats], np.float64)
+        flops = np.array([s[3] for s in native_stats], np.int64)
+        if float(maxes.max()) >= float(1 << 24) - 8:
+            raise OverflowError("pallas chain would exceed f32 exact range")
+        # compile + warm the single timing executable; the unperturbed
+        # 1-rep full-chain call is also the verification product
+        _, p_final = timed_chain(p0, 0.0, k, 1)
+        jax.block_until_ready(p_final)
+    else:
+        p_final, maxes, nnzs, flops = stats_chain(p0, k)
+        maxes, nnzs, flops = map(np.asarray,
+                                 map(jax.device_get, (maxes, nnzs, flops)))
+        if float(maxes.max()) >= float(1 << 24) - 8:
+            raise OverflowError("pallas chain exceeded f32 exact range")
+        acc, _ = timed_chain(p0, 0.0, k, reps)  # compile + warm
+        jax.block_until_ready(acc)
+    if keep_final is not None:
+        keep_final["p"] = p_final
 
     def _time(steps):
-        float(timed_chain(p0, 0.0, steps))  # compile + warm
+        acc, _ = timed_chain(p0, 0.0, steps, reps)  # warm (cached program)
+        jax.block_until_ready(acc)
         best = float("inf")
         for it in range(iters):
             t0 = time.perf_counter()
-            float(timed_chain(p0, float(it + 1), steps))
+            acc, _ = timed_chain(p0, float(it + 1), steps, reps)
+            jax.block_until_ready(acc)
             best = min(best, time.perf_counter() - t0)
-        return best
+        return best / reps
 
     # per-step differentials: time chains of length s, subtract adjacent.
     # the 0-step chain measures the fixed dispatch+sync floor (~30 ms on
@@ -398,12 +444,19 @@ def native_chain_stats_host(row_ptr, col_idx, vals, n: int, max_step: int = 7):
         np.asarray(row_ptr, np.int64), np.asarray(col_idx, np.int32),
         np.asarray(vals, np.uint64),
     )
-    stats = []  # (step, nnz, max_value)
+    rnz_a = np.diff(np.asarray(row_ptr, np.int64))
+    stats = []  # (step, nnz, max_value, expansion_flops)
     prev = base
     for step in range(2, max_step + 1):
+        # flops of the multiply producing A^step: every entry (i,k) of the
+        # current power expands to row_nnz_A[k] partial products.  col_idx
+        # may be capacity-padded (sentinel cols) — gather valid entries only
+        p_rp, p_cc = prev[0], prev[1]
+        flops = int(rnz_a[np.asarray(p_cc[: p_rp[-1]], np.int64)].sum())
         prev = native.spgemm(prev, base, n)
         crp, cc, cv = prev
-        stats.append((step, int(crp[-1]), int(cv.max()) if len(cv) else 0))
+        stats.append((step, int(crp[-1]),
+                      int(cv.max()) if len(cv) else 0, flops))
     return stats, prev
 
 
@@ -447,12 +500,16 @@ def chain_final_pallas(a: SparseCSR, max_step: int = 7,
 
 
 def verify_final_values(a: SparseCSR, native_final, max_step: int = 7,
-                        sample_rows: int = 128, rows_per_tile: int = 8):
+                        sample_rows: int = 128, rows_per_tile: int = 8,
+                        p=None):
     """Exact value check of the pallas chain's final product against a
     precomputed native-oracle CSR: global nnz + max, plus element-exact
-    agreement on ``sample_rows`` leading rows."""
+    agreement on ``sample_rows`` leading rows.  ``p``: a precomputed final
+    product (e.g. run_chain_pallas keep_final) avoids compiling another
+    chain program."""
     crp, cc, cv = native_final
-    p = chain_final_pallas(a, max_step, rows_per_tile=rows_per_tile)
+    if p is None:
+        p = chain_final_pallas(a, max_step, rows_per_tile=rows_per_tile)
     dev_nnz = int(jax.device_get(jnp.count_nonzero(p)))
     dev_max = float(jax.device_get(jnp.max(p)))
     want_nnz = int(crp[-1])

@@ -104,6 +104,24 @@ def run(n: int = 1024, nnz_per_row: int = 8, reps: int = 16,
     emit(f"spgemm_{n}x{nnz_per_row}", "direct_esc", best_d, best_d)
     emit(f"spgemm_{n}x{nnz_per_row}", "engine", best_e, best_d)
 
+    # --- sparse x dense tier (SpMM lowering, engine.py:_lower_spmm) -------
+    af = _rand_csr(n, n, n * nnz_per_row, 4, sr=F32SR)
+    d = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    from ..ops.spmm import spmm_csr_dense
+
+    t_spmm = fused_loop_time(
+        lambda bump: spmm_csr_dense(af, d + bump * 1e-30)[0, 0], reps=reps,
+        iters=iters)
+    einsum("ab,bc->ac", [af, d], sr=F32SR)  # warm
+    best_s = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        (out,) = einsum("ab,bc->ac", [af, d], sr=F32SR)
+        jax.block_until_ready(out)
+        best_s = min(best_s, time.perf_counter() - t0)
+    emit(f"spmm_{n}x{nnz_per_row}", "direct_spmm", t_spmm, t_spmm)
+    emit(f"spmm_{n}x{nnz_per_row}", "engine", best_s, t_spmm)
+
     # --- chain tier -------------------------------------------------------
     c3 = _rand_csr(n, n, n * nnz_per_row, 3)
 

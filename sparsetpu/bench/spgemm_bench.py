@@ -96,6 +96,35 @@ def _time_rowcat(a: SparseCSR, reps: int, iters: int,
     return best
 
 
+def _time_escb(a: SparseCSR, reps: int, iters: int) -> float:
+    """Fused-loop timing of the blocked-ESC numeric dispatch with a fixed
+    plan (host bin-packing excluded, symmetric with the ESC/rowcat
+    timings; the plan is one n-sized fetch + an O(n log n) host pack)."""
+    import dataclasses as _dc
+
+    from ..ops import escb
+
+    fr = np.asarray(jax.device_get(escb.row_flops(a, a))).astype(np.int64)
+    total = int(fr.sum())
+    L = escb.DEFAULT_L
+    assert not (fr > L).any(), "wide rows: time spgemm_blocked directly"
+    sel = np.flatnonzero(fr > 0)
+    p2r, st, nb = escb.pack_rows(fr[sel], L)
+    pack2row = jnp.asarray(sel[p2r].astype(np.int32))
+    st = jnp.asarray(st)
+    fr_dev = jnp.asarray(fr.astype(np.int32))
+    cap = _pow2(total)
+    escb._numeric(a, a, pack2row, st, fr_dev, L, nb, cap, cap).check()
+
+    def step(bump):
+        a2 = _dc.replace(
+            a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
+        out = escb._numeric(a2, a, pack2row, st, fr_dev, L, nb, cap, cap)
+        return out.values[0][0].astype(jnp.float32)
+
+    return fused_loop_time(step, reps=reps, iters=iters)
+
+
 def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
     """Library baseline column (jax.experimental.sparse); times only the
     jitted sparse-sparse dot, structure prep excluded."""
@@ -123,7 +152,7 @@ def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
 
 
 def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
-        power_law_sides=(27000,), algos=("esc", "rowcat"),
+        power_law_sides=(27000,), algos=("esc", "escb", "rowcat"),
         reps: int = 16, iters: int = 2, verbose: bool = True,
         out_path: str = None) -> str:
     rows: List[str] = ["case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,"
@@ -192,6 +221,12 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                 esc_out = spgemm(a, a, cap).check()
                 assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
                 t = _time_esc(a, cap, reps, iters)
+            elif algo == "escb":
+                from ..ops.escb import spgemm_blocked
+
+                escb_out = spgemm_blocked(a, a).check()
+                assert int(escb_out.nnz) == nnz_c, (int(escb_out.nnz), nnz_c)
+                t = _time_escb(a, reps, iters)
             elif algo == "rowcat":
                 t = _time_rowcat(a, reps, iters)
             elif algo == "rowcat_pallas":
@@ -220,7 +255,7 @@ def main(argv=None):
     ap.add_argument("--sides", type=int, nargs="*",
                     default=[1000, 3375, 8000, 27000])
     ap.add_argument("--e-per-n", type=int, nargs="*", default=[2, 8, 32])
-    ap.add_argument("--algos", nargs="*", default=["esc", "rowcat"])
+    ap.add_argument("--algos", nargs="*", default=["esc", "escb", "rowcat"])
     ap.add_argument("--power-law-sides", type=int, nargs="*", default=[27000])
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--out", default="bench_out/spgemm_sweep.csv")

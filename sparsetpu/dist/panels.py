@@ -37,7 +37,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..csr import SparseCSR
-from ..ops.segments import INT32_SENTINEL
+from ..ops.segments import INT32_SENTINEL, cumsum_blocked
 from ..semiring import by_name
 from .shard import AXIS, ShardedCSR, default_mesh
 
@@ -86,7 +86,7 @@ def _expand_against_panel(sr, a_rows, a_cols, a_vals, valid_a,
     k_loc = jnp.clip(a_cols - panel_base, 0, nlb - 1)
     row_nnz = p_rp[1:] - p_rp[:-1]
     counts = jnp.where(in_panel, row_nnz[k_loc], 0).astype(jnp.int32)
-    cum = jnp.cumsum(counts)
+    cum = cumsum_blocked(counts)
     total = cum[cap_a - 1] if cap_a > 0 else jnp.int32(0)
 
     t = jnp.arange(step_cap, dtype=jnp.int32)

@@ -60,7 +60,9 @@ def plan(a: SparseCSR, b: SparseCSR):
     valid = jnp.arange(a.capacity) < a.nnz
     col = jnp.clip(a.col_idx, 0, b.n_rows - 1)
     counts = jnp.where(valid, b.row_nnz()[col], 0).astype(jnp.int32)
-    cin0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    cin0 = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), segments.cumsum_blocked(counts)]
+    )
     fr = cin0[a.row_ptr[1:]] - cin0[a.row_ptr[:-1]]  # (n,) products per row
     ths = jnp.asarray(THRESHOLDS, jnp.int32)
     cat = jnp.searchsorted(ths, fr, side="left").astype(jnp.int32)
@@ -82,7 +84,7 @@ def shared_stream(a: SparseCSR, b: SparseCSR, cap_g: int):
     valid_e = jnp.arange(cap_a) < a.nnz
     a_cols = jnp.clip(a.col_idx, 0, b.n_rows - 1)
     counts = jnp.where(valid_e, b.row_nnz()[a_cols], 0).astype(jnp.int32)
-    cincl = jnp.cumsum(counts)
+    cincl = segments.cumsum_blocked(counts)
     cin0 = jnp.concatenate([jnp.zeros((1,), jnp.int32), cincl])
     starts = jnp.where(counts > 0, cincl - counts, cap_g)
     src = segments.repeat_index(
@@ -174,7 +176,7 @@ def assemble(cols_concat, limbs_concat, base_of_row, nr_full,
 
     sr = by_name(sr_name)
     row_ptr = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nr_full)]
+        [jnp.zeros((1,), jnp.int32), segments.cumsum_blocked(nr_full)]
     ).astype(jnp.int32)
     nnz = row_ptr[-1]
     s = jnp.arange(out_cap, dtype=jnp.int32)
@@ -215,7 +217,7 @@ def _esc_rows(a: SparseCSR, b: SparseCSR, row_mask: jnp.ndarray, cap: int,
         valid_e & member[jnp.clip(a_rows, 0, a.n_rows)],
         b.row_nnz()[a_cols], 0,
     ).astype(jnp.int32)
-    cincl = jnp.cumsum(counts)
+    cincl = segments.cumsum_blocked(counts)
     total = cincl[-1]
     t = jnp.arange(cap, dtype=jnp.int32)
     starts = jnp.where(counts > 0, cincl - counts, cap)

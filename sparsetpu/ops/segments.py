@@ -33,6 +33,57 @@ from ..semiring import Semiring, Value
 INT32_SENTINEL = np.int32(0x7FFFFFFF)
 
 
+# lane width for two-level scans: a 1-D associative_scan's XLA compile time
+# grows superlinearly with array length (measured on the TPU compiler:
+# 14.8 s at 2^18, 141.8 s at 2^20, unusable by ~2^21 — scripts/probe_sort.py,
+# reports/probe_sort.csv) because the log2(n) slice/update tree is laid out
+# per level.  Scanning (nb, L) blocks along the lane axis + a tiny cross-
+# block carry scan bounds the compiled program by L while staying one
+# fused program — this is what lifted the ESC "~2M-product compile
+# ceiling" (VERDICT r2 weak #7).
+BLOCKED_SCAN_L = 1 << 15
+
+
+def blocked_scan(combine, elems, identity, L: int = BLOCKED_SCAN_L):
+    """Inclusive 1-D associative scan via block-local scans + carry.
+
+    ``elems``: pytree of same-length 1-D arrays; ``identity``: matching
+    pytree of per-array identity scalars for ``combine`` (pads the tail
+    block and seeds the carry).  ``combine`` must be associative and
+    broadcast elementwise (it receives (nb, 1) carries against (nb, L)
+    blocks).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(elems)
+    ids = treedef.flatten_up_to(identity)
+    n = leaves[0].shape[0]
+    if n <= 2 * L:
+        return jax.lax.associative_scan(combine, elems)
+    nb = -(-n // L)
+    pad = nb * L - n
+    blocks = treedef.unflatten([
+        jnp.concatenate([e, jnp.full((pad,), i, e.dtype)]).reshape(nb, L)
+        for e, i in zip(leaves, ids)
+    ])
+    scanned = jax.lax.associative_scan(combine, blocks, axis=1)
+    s_leaves = treedef.flatten_up_to(scanned)
+    carry_incl = jax.lax.associative_scan(
+        combine, treedef.unflatten([s[:, -1] for s in s_leaves])
+    )
+    carry = treedef.unflatten([
+        jnp.concatenate([jnp.full((1,), i, c.dtype), c[:-1]])[:, None]
+        for c, i in zip(treedef.flatten_up_to(carry_incl), ids)
+    ])
+    out = combine(carry, scanned)
+    return treedef.unflatten([
+        o.reshape(nb * L)[:n] for o in treedef.flatten_up_to(out)
+    ])
+
+
+def cumsum_blocked(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum with compile-bounded two-level scan."""
+    return blocked_scan(jnp.add, x, x.dtype.type(0))
+
+
 def repeat_index(starts: jnp.ndarray, values: jnp.ndarray, length: int,
                  fill=-1) -> jnp.ndarray:
     """out[t] = values[e] for the segment e covering position t, where
@@ -48,7 +99,7 @@ def repeat_index(starts: jnp.ndarray, values: jnp.ndarray, length: int,
     """
     marks = jnp.full((length,), fill, values.dtype)
     marks = marks.at[starts].max(values, mode="drop")
-    return jax.lax.associative_scan(jnp.maximum, marks)
+    return blocked_scan(jnp.maximum, marks, values.dtype.type(fill))
 
 
 def sort_by_keys(keys: Sequence[jnp.ndarray], payloads: Sequence[jnp.ndarray]):
@@ -94,7 +145,11 @@ def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value,
         return (*v, ha | hb)
 
     init = (*values, heads)
-    out = jax.lax.associative_scan(combine, init, axis=axis)
+    if axis == 0 and heads.ndim == 1:
+        identity = (*(l.dtype.type(0) for l in values), False)
+        out = blocked_scan(combine, init, identity)
+    else:
+        out = jax.lax.associative_scan(combine, init, axis=axis)
     return out[:-1]
 
 
@@ -112,7 +167,7 @@ def compact(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray], fill_values, out_s
     the cheap pass count.
     """
     n = keep.shape[0]
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = cumsum_blocked(keep.astype(jnp.int32)) - 1
     idx = jnp.where(keep, pos, out_size)  # out-of-bounds => dropped
     src = jnp.full((out_size,), n, jnp.int32)  # n => gather fill below
     src = src.at[idx].set(jnp.arange(n, dtype=jnp.int32), mode="drop")

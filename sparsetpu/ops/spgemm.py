@@ -82,7 +82,7 @@ def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
     a_rows = a.row_of_slot()
     a_cols = jnp.clip(a.col_idx, 0, b.n_rows - 1)
     counts = jnp.where(valid_a, b.row_nnz()[a_cols], 0).astype(jnp.int32)
-    cum = jnp.cumsum(counts)
+    cum = segments.cumsum_blocked(counts)
     total = cum[a.capacity - 1] if a.capacity > 0 else jnp.int32(0)
 
     t = jnp.arange(expand_cap, dtype=jnp.int32)
