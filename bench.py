@@ -66,8 +66,9 @@ def main():
     parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
-    parser.add_argument("--rows-per-tile", type=int, default=8,
-                        help="pallas kernel output-tile height")
+    parser.add_argument("--rows-per-tile", type=int, default=24,
+                        help="pallas kernel output-tile height (24 measured "
+                             "best of {8,24} at 30^3; scripts/probe_spmm.py)")
     parser.add_argument("--no-verify", action="store_true",
                         help="skip the native-oracle agreement check "
                              "(reference discipline is agreement-then-time, "
@@ -87,7 +88,7 @@ def main():
                              "post-JSON extras are skipped past this")
     parser.add_argument("--algo",
                         choices=["auto", "pallas", "dense", "band", "esc",
-                                 "rowcat"],
+                                 "rowcat", "escb"],
                         default="pallas",
                         help="auto = self-route via ops.hybrid.choose_strategy "
                              "(the MagnusConfig role); pallas = DMA-ring "
@@ -178,6 +179,10 @@ def main():
                                    native_stats=host_out.get("native_stats"))
     elif args.algo == "rowcat":
         results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
+    elif args.algo == "escb":
+        from sparsetpu.bench.chain import run_chain_escb
+
+        results = run_chain_escb(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "dense":
         results = run_chain_dense(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "band":

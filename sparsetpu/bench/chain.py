@@ -271,7 +271,11 @@ def run_chain_pallas(
     cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
         a, rows_per_tile=rows_per_tile
     )
-    p0 = sp.to_row_planes(host_f32_dense(a))
+    # densify + plane-layout ON DEVICE: a host-built (n, n) f32 P is a
+    # multi-GB device_put through the remote tunnel (measured: tens of
+    # minutes at 30^3) — the CSR operand is already resident, so scatter it
+    p0 = jax.jit(lambda m: sp.to_row_planes(tuple_to_f32_dense(m)))(a)
+    jax.block_until_ready(p0)
     k = max_step - 1  # number of products in the chain
 
     # A's per-row nnz laid out like a P row plane, for exact per-step flop
@@ -428,6 +432,50 @@ def run_chain_rowcat(
         if verbose:
             print(
                 f"A^{step} [rowcat]: nnz={nnz} flops={flops} "
+                f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M",
+                flush=True,
+            )
+        prev = c
+    return results
+
+
+def run_chain_escb(
+    a: SparseCSR,
+    max_step: int = 7,
+    iters: int = 3,
+    verbose: bool = True,
+) -> List[ChainStep]:
+    """Blocked-ESC chain: C_k = C_{k-1} x A through ops/escb.py — the
+    compile-bounded general sparse-output path (row-packed batched sort;
+    see ops/escb.py).  Per-call wall time including the host plan pass
+    (one n-sized fetch + bin packing), matching how a user would run it."""
+    from ..ops.escb import spgemm_blocked
+
+    results: List[ChainStep] = []
+    prev = a
+    for step in range(2, max_step + 1):
+        c = spgemm_blocked(prev, a).check()
+        jax.block_until_ready(c.nnz)
+        flops = int(np.int64(0))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = spgemm_blocked(prev, a)
+            jax.block_until_ready(out.nnz)
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        from ..ops.spgemm import symbolic_flops_exact
+
+        flops = symbolic_flops_exact(prev, a)
+        nnz = int(c.nnz)
+        rec = ChainStep(
+            step=step, nnz=nnz, flops=flops, seconds=dt,
+            nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9,
+        )
+        results.append(rec)
+        if verbose:
+            print(
+                f"A^{step} [escb]: nnz={nnz} flops={flops} "
                 f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M",
                 flush=True,
             )

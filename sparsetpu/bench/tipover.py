@@ -79,7 +79,8 @@ def dense_baseline(shape, iters: int = 3, reps: int = 64) -> float:
 def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
                  max_flops: int = 1 << 27, per_decade: int = 4,
                  reps: int = 64, verbose: bool = True,
-                 out_path: str = None) -> str:
+                 out_path: str = None, densities=None,
+                 with_sdd: bool = True) -> str:
     """One GPT config: dense baseline + density sweep. Returns CSV text.
 
     ``per_decade`` controls the log-density grid (the reference uses 4;
@@ -87,7 +88,12 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
     rigs want 2).  ``reps`` fuses that many repetitions per timed dispatch:
     against a ~20-50 ms tunnel sync, reps=64 puts the measurement floor at
     ~0.5 ms/rep — well below the dense baseline — where reps=4 floors at
-    5-12 ms and drowns microsecond kernels."""
+    5-12 ms and drowns microsecond kernels.  ``densities``: explicit grid
+    overriding the log sweep (the reference's fine timing-bob.csv uses
+    linear steps around the crossover); pow2 capacity bucketing keeps the
+    number of distinct compiled programs far below the number of steps.
+    ``with_sdd=False`` skips the block-sparse race (fine mode: the SDD
+    time is density-flat, re-measuring it per fine step buys nothing)."""
     shape = config_shape(cfg)
     n_weights = int(np.prod(shape))
     dense_t = dense_baseline(shape, iters=iters, reps=reps)
@@ -107,8 +113,10 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         print(out[0], flush=True)
         print(header, flush=True)
 
-    for ii in range(n_density_steps):
-        density = 1e-4 * 10 ** (ii / float(per_decade))
+    if densities is None:
+        densities = [1e-4 * 10 ** (ii / float(per_decade))
+                     for ii in range(n_density_steps)]
+    for ii, density in enumerate(densities):
         if density > 1.0:
             break
         t0 = time.perf_counter()
@@ -172,6 +180,8 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
             if verbose:
                 print(row, flush=True)
 
+        if not with_sdd:
+            continue
         # Pallas block-sparse SDD race (the reference Chunked competitor,
         # src/main.rs:313): block structure built once per density; the
         # pair list is pow2-padded with duplicates of pair 0 to bound
@@ -242,18 +252,31 @@ def main(argv=None):
     parser.add_argument("--max-flops", type=int, default=1 << 27)
     parser.add_argument("--per-decade", type=int, default=4)
     parser.add_argument("--reps", type=int, default=64)
+    parser.add_argument("--fine", action="store_true",
+                        help="linear density steps around the measured "
+                             "crossover band (the reference's fine "
+                             "timing-bob.csv, 1%%-step analog) instead of "
+                             "the 4-per-decade log sweep; esc only")
     args = parser.parse_args(argv)
     from . import configure_cache
     configure_cache()
     os.makedirs(args.out_dir, exist_ok=True)
+    densities = None
+    if args.fine:
+        # measured round-2 crossovers sit at 0.10-0.32% density; sample
+        # 0.05%..1% in 0.05% steps (20 cells, ~6 distinct pow2 capacities)
+        densities = [ii * 5e-4 for ii in range(1, 21)]
     for ci in args.configs:
         cfg = GPT_CONFIGS[ci]
         print(f"# config {ci}: batch={cfg[0]} seq={cfg[1]} heads={cfg[2]} "
               f"emb={cfg[3]}", flush=True)
-        path = os.path.join(args.out_dir, f"tipover_results_{ci}.csv")
+        name = ("tipover_fine_{}.csv" if args.fine
+                else "tipover_results_{}.csv").format(ci)
+        path = os.path.join(args.out_dir, name)
         csv = sweep_config(cfg, iters=args.iters, max_flops=args.max_flops,
                            per_decade=args.per_decade, reps=args.reps,
-                           out_path=path)
+                           out_path=path, densities=densities,
+                           with_sdd=not args.fine)
         with open(path, "w") as f:
             f.write(csv)
         x = crossover_density(csv)

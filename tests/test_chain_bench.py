@@ -39,7 +39,7 @@ def test_pallas_chain_headline_only(torus):
     results = run_chain_pallas(a, max_step=4, iters=1, per_step=False,
                                verbose=False)
     assert [r.step for r in results] == [2, 3, 4]
-    for rec, (step, want_nnz, _) in zip(results, stats):
+    for rec, (step, want_nnz, *_) in zip(results, stats):
         assert rec.step == step and rec.nnz == want_nnz
     assert math.isnan(results[0].seconds)
     assert math.isnan(results[1].seconds)
@@ -55,5 +55,5 @@ def test_pallas_chain_per_step(torus):
     results = run_chain_pallas(a, max_step=4, iters=1, per_step=True,
                                verbose=False)
     assert all(math.isfinite(r.seconds) and r.seconds > 0 for r in results)
-    for rec, (step, want_nnz, _) in zip(results, stats):
+    for rec, (step, want_nnz, *_) in zip(results, stats):
         assert rec.step == step and rec.nnz == want_nnz
