@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 TPU measurement batch: runs each evidence-producing bench
+# sequentially with per-stage timeouts; stages are independent, a failure
+# moves on.  Logs land in bench_out/, artifacts are committed by hand after
+# inspection.
+set -u
+cd /root/repo
+mkdir -p bench_out
+log() { echo "=== [$(date +%H:%M:%S)] $*" ; }
+
+log stage1: headline bench
+timeout 1200 python bench.py --csv bench_out/chain_r3.csv \
+  2>&1 | tail -15
+
+log stage2: engine_bench
+timeout 2400 python -m sparsetpu.bench.engine_bench \
+  --out bench_out/engine_bench.csv 2>&1 | tail -20
+
+log stage3: fine tipover config 0
+timeout 3600 python -m sparsetpu.bench.tipover --fine --configs 0 \
+  --out-dir bench_out 2>&1 | tail -30
+
+log stage4: escb general-sparse chain at 30^3
+timeout 3600 python bench.py --algo escb --no-verify \
+  --csv bench_out/chain_escb_r3.csv 2>&1 | tail -12
+
+log stage5: full spgemm sweep grid
+timeout 14000 python -m sparsetpu.bench.spgemm_bench \
+  --algos esc escb rowcat bcoo \
+  --out bench_out/spgemm_sweep_full.csv 2>&1 | tail -80
+
+log batch done

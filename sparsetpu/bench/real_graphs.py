@@ -1,0 +1,176 @@
+"""Real-graph-scale benchmark + structure analysis (BASELINE configs 3-4 at
+citation-graph scale).
+
+Mirrors the reference's real-graph study (bench_real_graphs
+src/graph_csr.rs:1430-1470, analyze_graph_structure :1472-1530, bench_diameter
+:1226-1319) at the same (n, edges) scales.  The reference loads
+``gen-graphs/{cora,nell,ogbn_arxiv}.edges`` fetched over the network with
+torch_geometric/ogb (requirements.txt); this rig has zero egress, so when the
+edge file is absent we substitute a preferential-attachment (power-law) graph
+at the SAME node/edge counts — the skew is the property the kernels care
+about (hub rows stress the categorization / bin-packing paths), and the
+substitute is clearly labeled ``*_pl`` in the CSV.
+
+Per graph:
+  - structure analysis: components, degree min/median/avg/max, bandwidth
+    before/after RCM (the analyze_graph_structure analog);
+  - A^k power chain timings (csv: graph,n,edges,step,nnz_out,seconds,
+    mproducts_per_s,algo) with the reference's budget-guard discipline
+    (MAX_NNZ skip rows, src/graph_csr.rs:1344-1346) — DNF_budget rows
+    instead of OOM/stalls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import List, Tuple
+
+import numpy as np
+
+from ..csr import SparseCSR
+from ..graphs import datasets, generate
+from ..semiring import U64
+
+# real citation-graph sizes (directed edge counts as fetched by the
+# reference's requirements.txt pipeline: Planetoid cora/nell, ogbn-arxiv)
+GRAPHS = [
+    ("cora", 2708, 10556),
+    ("nell", 65755, 251550),
+    ("ogbn_arxiv", 169343, 1166243),
+]
+
+MAX_EXPANSION = 1 << 28  # ~268M products: past this a chain step is DNF
+MAX_NNZ = 1 << 26        # stop the chain once the power is this dense
+
+
+def load_or_synthesize(name: str, n: int, m: int) -> Tuple[str, tuple]:
+    path = os.path.join("gen-graphs", f"{name}.edges")
+    if os.path.exists(path):
+        return name, datasets.load_edges(path)
+    # match the undirected edge count: power_law emits both directions
+    m_per_node = max(1, round(m / n))
+    coo = datasets.power_law(n, m_per_node, seed=hash(name) % (1 << 31))
+    return f"{name}_pl", coo
+
+
+def structure_report(label: str, coo: tuple, a: SparseCSR,
+                     with_rcm: bool = True) -> List[str]:
+    from ..graphs import algos
+
+    rows_np, _, _, n = coo
+    deg = np.bincount(rows_np, minlength=n)
+    comp = algos.connected_components(a)
+    sizes = np.bincount(comp)
+    sizes = np.sort(sizes[sizes > 0])[::-1]
+    lines = [
+        f"[{label}] n={n} nnz={int(a.nnz)}",
+        f"  components: {len(sizes)} (top sizes {sizes[:5].tolist()}, "
+        f"{int((sizes == 1).sum())} singletons)",
+        f"  degree: min={deg.min()} median={int(np.median(deg))} "
+        f"avg={deg.mean():.1f} max={deg.max()}",
+    ]
+    mb, ab = algos.bandwidth_stats(a)
+    lines.append(f"  bandwidth (original): max={mb} avg={ab:.1f}")
+    if with_rcm:
+        t0 = time.perf_counter()
+        a_rcm, _ = algos.rcm(a)
+        t_rcm = time.perf_counter() - t0
+        mb2, ab2 = algos.bandwidth_stats(a_rcm)
+        lines.append(
+            f"  bandwidth (RCM): max={mb2} avg={ab2:.1f} ({t_rcm*1e3:.0f} ms)"
+            f"  reduction: max {mb/max(mb2,1):.1f}x avg {ab/max(ab2,1e-9):.1f}x"
+        )
+    return lines
+
+
+def bench_chain(label: str, a: SparseCSR, max_power: int,
+                iters: int = 2, verbose: bool = True) -> List[str]:
+    """A^2..A^max_power with per-step escb timings and oracle nnz agreement
+    on the first step (full-chain value agreement is the long test's job)."""
+    import jax
+
+    from ..ops.escb import spgemm_blocked
+    from ..ops.spgemm import symbolic_flops_exact
+    from .. import native
+
+    rows: List[str] = []
+    n = a.n_rows
+
+    # native-oracle agreement on A^2 (agreement-then-time discipline)
+    rp_h, ci_h, v_h = a.to_numpy()
+    base = native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h)
+    crp, _, _ = native.spgemm(base, base, n)
+
+    prev = a
+    for step in range(2, max_power + 1):
+        flops = symbolic_flops_exact(prev, a)
+        if flops > MAX_EXPANSION:
+            line = f"{label},{n},{int(a.nnz)},{step},DNF_budget,{flops},0,escb"
+            rows.append(line)
+            if verbose:
+                print(line, flush=True)
+            break
+        try:
+            c = spgemm_blocked(prev, a).check()
+        except ValueError as e:
+            line = f"{label},{n},{int(a.nnz)},{step},DNF_{e},{flops},0,escb"
+            rows.append(line)
+            if verbose:
+                print(line, flush=True)
+            break
+        if step == 2:
+            assert int(c.nnz) == int(crp[-1]), (int(c.nnz), int(crp[-1]))
+        jax.block_until_ready(c.nnz)
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = spgemm_blocked(prev, a)
+            jax.block_until_ready(out.nnz)
+            best = min(best, time.perf_counter() - t0)
+        line = (f"{label},{n},{int(a.nnz)},{step},{int(c.nnz)},{flops},"
+                f"{best:.6f},escb")
+        rows.append(line)
+        if verbose:
+            print(f"{line}  ({flops/best/1e6:.1f} Mproducts/s)", flush=True)
+        if int(c.nnz) > MAX_NNZ:
+            break
+        prev = c
+    return rows
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--graphs", nargs="*",
+                    default=[g[0] for g in GRAPHS])
+    ap.add_argument("--max-power", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--no-rcm", action="store_true",
+                    help="skip the RCM pass (host BFS; minutes at 169k)")
+    ap.add_argument("--out", default="bench_out/real_graphs.csv")
+    args = ap.parse_args(argv)
+    from . import configure_cache
+
+    configure_cache()
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    header = "graph,n,nnz_a,step,nnz_out,flops,seconds,algo"
+    all_rows = [header]
+    print(header, flush=True)
+    for name, n, m in GRAPHS:
+        if name not in args.graphs:
+            continue
+        label, coo = load_or_synthesize(name, n, m)
+        r, c, v, nn = coo
+        a = SparseCSR.from_coo_host(r, c, v, nn, sr=U64)
+        for ln in structure_report(label, coo, a, with_rcm=not args.no_rcm):
+            print("# " + ln, flush=True)
+        all_rows += bench_chain(label, a, args.max_power, iters=args.iters)
+        with open(args.out, "w") as f:
+            f.write("\n".join(all_rows) + "\n")
+    print(f"# wrote {args.out}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
