@@ -125,6 +125,32 @@ def _time_escb(a: SparseCSR, reps: int, iters: int) -> float:
     return fused_loop_time(step, reps=reps, iters=iters)
 
 
+def _time_denseacc(a: SparseCSR, nnz_c: int, reps: int, iters: int) -> float:
+    """Dense-accumulator path (ops/denseacc.py): fixed tiling plan, fused
+    loop over the full numeric dispatch (densify + DMA-ring SpMM + device
+    CSR pack) — everything a caller would run per product."""
+    import dataclasses as _dc
+
+    from ..ops.denseacc import dense_acc_numeric, plan_dense_acc
+
+    cnt, cols, lrow, vals, meta = plan_dense_acc(a, a.n_cols)
+    cap = _pow2(nnz_c)
+
+    def call(a2):
+        return dense_acc_numeric(cnt, cols, lrow, vals, a2,
+                                 meta["rows_per_tile"], cap,
+                                 a.n_rows, a.n_cols)
+
+    call(a).check()
+
+    def step(bump):
+        v0 = a.values[0] + (bump * 1e-30).astype(a.values[0].dtype)
+        a2 = _dc.replace(a, values=(v0, *a.values[1:]))
+        return call(a2).values[0][0].astype(jnp.float32)
+
+    return fused_loop_time(step, reps=max(reps // 4, 1), iters=iters)
+
+
 def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
     """Library baseline column (jax.experimental.sparse); times only the
     jitted sparse-sparse dot, structure prep excluded."""
@@ -209,35 +235,50 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
             print(f"# catmix {case} n={n} e/n={epn}: {mix} "
                   f"(deg max={dmax} mean={dmean:.1f})", flush=True)
         for algo in algos:
-            if algo == "esc":
-                if cap > esc_max_cap:
-                    line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
-                            f"esc,DNF_compile,0.0")
-                    rows.append(line)
-                    _flush()
-                    if verbose:
-                        print(line, flush=True)
-                    continue
-                esc_out = spgemm(a, a, cap).check()
-                assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
-                t = _time_esc(a, cap, reps, iters)
-            elif algo == "escb":
-                from ..ops.escb import spgemm_blocked
+            try:
+                if algo == "esc":
+                    if cap > esc_max_cap:
+                        raise RuntimeError("DNF_compile")
+                    esc_out = spgemm(a, a, cap).check()
+                    assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
+                    t = _time_esc(a, cap, reps, iters)
+                elif algo == "escb":
+                    from ..ops.escb import spgemm_blocked
 
-                escb_out = spgemm_blocked(a, a).check()
-                assert int(escb_out.nnz) == nnz_c, (int(escb_out.nnz), nnz_c)
-                t = _time_escb(a, reps, iters)
-            elif algo == "rowcat":
-                t = _time_rowcat(a, reps, iters)
-            elif algo == "rowcat_pallas":
-                t = _time_rowcat(a, reps, iters, use_pallas=True)
-            elif algo == "bcoo":
-                tb = _time_bcoo(a, reps, iters)
-                if tb is None:
-                    continue
-                t = tb
-            else:
-                raise ValueError(algo)
+                    escb_out = spgemm_blocked(a, a).check()
+                    assert int(escb_out.nnz) == nnz_c, (int(escb_out.nnz),
+                                                        nnz_c)
+                    t = _time_escb(a, reps, iters)
+                elif algo == "denseacc":
+                    from ..ops.denseacc import spgemm_dense_acc
+
+                    da_out = spgemm_dense_acc(a, a).check()
+                    assert int(da_out.nnz) == nnz_c, (int(da_out.nnz), nnz_c)
+                    t = _time_denseacc(a, nnz_c, reps, iters)
+                elif algo == "rowcat":
+                    t = _time_rowcat(a, reps, iters)
+                elif algo == "rowcat_pallas":
+                    t = _time_rowcat(a, reps, iters, use_pallas=True)
+                elif algo == "bcoo":
+                    tb = _time_bcoo(a, reps, iters)
+                    if tb is None:
+                        continue
+                    t = tb
+                else:
+                    raise ValueError(algo)
+            except ValueError:
+                raise
+            except Exception as e:  # record DNF, keep sweeping (ref: the
+                # reference's memory-budget skip, src/graph_csr.rs:1344)
+                kind = str(e) if str(e) == "DNF_compile" else "DNF_error"
+                line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
+                        f"{algo},{kind},0.0")
+                rows.append(line)
+                _flush()
+                if verbose:
+                    print(line + f"  # {type(e).__name__}: {str(e)[:120]}",
+                          flush=True)
+                continue
             line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},{algo},"
                     f"{t:.6f},{flops / t / 1e6:.1f}")
             rows.append(line)

@@ -347,6 +347,10 @@ class SparseCSR:
             for l in limbs
         )
         nnz = jnp.count_nonzero(valid).astype(jnp.int32)
+        # undersized capacity truncates jnp.nonzero silently — poison nnz
+        # to -1 (the u64-saturating overflow discipline, .check() raises)
+        true_nnz = jnp.count_nonzero(mask).astype(jnp.int32)
+        nnz = jnp.where(true_nnz > capacity, jnp.int32(-1), nnz)
         row_ptr = jnp.searchsorted(
             r, jnp.arange(n + 1, dtype=jnp.int32), side="left"
         ).astype(jnp.int32)

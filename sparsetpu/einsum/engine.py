@@ -22,6 +22,7 @@ for 1-limb semirings) per output spec.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -100,14 +101,25 @@ def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
                                 out_format)
     if lowered is not None:
         return lowered
+    lowered = _try_entry_driven(parsed, out, operands, infos, dims, sr,
+                                out_format)
+    if lowered is not None:
+        return lowered
     if sr.name == "f32" and all(i[0] == "dense" for i in infos):
         arrs = [i[2][0] for i in infos]
         sub = ",".join("".join(i) for i in parsed.inputs) + "->" + "".join(out)
-        dense = jnp.einsum(sub, *arrs, preferred_element_type=jnp.float32)
+        dense = _dense_exec(sub, *arrs)
         return _pack_output(dense if sr.nlimbs == 1 else (dense,), out, dims,
                             sr, out_format)
     dense = _fallback_loop_nest(parsed, out, operands, infos, dims, sr)
     return _pack_output(dense, out, dims, sr, out_format)
+
+
+@partial(jax.jit, static_argnames=("sub",))
+def _dense_exec(sub: str, *arrs):
+    """All-dense MXU einsum as one cached compiled dispatch."""
+    return jnp.einsum(sub, *(a.astype(jnp.float32) for a in arrs),
+                      preferred_element_type=jnp.float32)
 
 
 def _pack_output(dense, out, dims, sr: Semiring, out_format: str):
@@ -161,18 +173,29 @@ def _try_spmm(parsed, out, operands, infos, dims, sr, out_format: str):
     if len(out) != len(expected) or set(out) != set(expected):
         return None
 
+    s = operands[si]
+    d = infos[di][2][0]
+    # one fused dispatch: transposes + SpMM under a single cached jit
+    # (eager per-op dispatch through the device tunnel costs ~ms each)
+    result = _spmm_exec(
+        s, d,
+        t_s=s_ix[0] == k,
+        t_d=len(d_ix) == 2 and d_ix[0] != k,
+        t_out=len(out) == 2 and out == (d_free, s_free),
+    )
+    return _pack_output(result, out, dims, sr, out_format)
+
+
+@partial(jax.jit, static_argnames=("t_s", "t_d", "t_out"))
+def _spmm_exec(s: SparseCSR, d, t_s: bool, t_d: bool, t_out: bool):
     from ..ops.spmm import spmm_csr_dense
 
-    s = operands[si]
-    if s_ix[0] == k:  # contraction along sparse rows -> transpose (device)
+    if t_s:  # contraction along sparse rows -> transpose (device)
         s = s.transpose()
-    d = infos[di][2][0].astype(jnp.float32)
-    if len(d_ix) == 2 and d_ix[0] != k:  # contraction along dense cols
+    if t_d:  # contraction along dense cols
         d = d.T
-    result = spmm_csr_dense(s, d)
-    if len(out) == 2 and out == (d_free, s_free):
-        result = result.T
-    return _pack_output(result, out, dims, sr, out_format)
+    result = spmm_csr_dense(s, d.astype(jnp.float32))
+    return result.T if t_out else result
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +357,129 @@ def _as_csr(op, info, sr: Semiring, transpose: bool) -> SparseCSR:
         limbs = tuple(l.T for l in limbs)
     # device-side sparsify (one scalar nnz sync for the static capacity)
     return SparseCSR.from_dense_device(limbs, sr)
+
+
+# ---------------------------------------------------------------------------
+# tier 2: entry-driven lowering — ANY spec with exactly one sparse operand
+# ---------------------------------------------------------------------------
+
+# joint guard for the entry-driven tier: cap x (unbound dense letter space)
+ENTRY_DRIVEN_MAX_ELEMS = 1 << 26
+
+
+def _try_entry_driven(parsed, out, operands, infos, dims, sr,
+                      out_format: str):
+    """General sparse-driven schedule for specs with exactly one 2-D sparse
+    operand (f32): iterate the sparse entries, evaluate the dense
+    sub-contraction per entry (gathers bind the sparse letters), and
+    scatter-accumulate into the output — the TPU analog of the reference
+    VM's SparseRowLoop driving an arbitrary inner loop nest
+    (linalg/src/einsum.rs:591-626).  Covers sparse traces (``aa->``),
+    row/col reductions (``ab->a``), elementwise masks (``ab,ab->ab``),
+    N-D dense partners (``ab,bcd->acd``), and free-sparse-letter products
+    (``ab,ac->abc``) — everything the matmul tiers above reject short of
+    multiple sparse operands."""
+    if sr.name != "f32":
+        return None
+    sparse_pos = [i for i, inf in enumerate(infos) if inf[0] == "sparse"]
+    if len(sparse_pos) != 1 or any(i[0] == "grouped" for i in infos):
+        return None
+    si = sparse_pos[0]
+    s_ix = parsed.inputs[si]
+    if len(s_ix) != 2:
+        return None
+    p, q = s_ix
+    s: SparseCSR = operands[si]
+
+    dense_ixs = tuple(
+        tuple(ix) for j, ix in enumerate(parsed.inputs) if j != si
+    )
+    dense_arrs = [infos[j][2][0] for j in range(len(operands)) if j != si]
+    # repeated letters inside a dense operand (diagonals) are out of this
+    # tier's scope — leave to the fallback
+    if any(len(set(ix)) != len(ix) for ix in dense_ixs):
+        return None
+
+    bound = {p} if p == q else {p, q}
+    unbound = [ch for ch in parsed.slots if ch not in bound]
+    work = s.capacity * int(np.prod([dims[ch] for ch in unbound]) or 1)
+    if work > ENTRY_DRIVEN_MAX_ELEMS:
+        return None
+
+    result = _entry_driven_exec(
+        s, tuple(dense_arrs),
+        pq=(p, q), dense_ixs=dense_ixs, out=tuple(out),
+        dims_t=tuple(sorted(dims.items())),
+    )
+    return _pack_output(result, out, dims, sr, out_format)
+
+
+@partial(jax.jit, static_argnames=("pq", "dense_ixs", "out", "dims_t"))
+def _entry_driven_exec(s: SparseCSR, dense_arrs, pq, dense_ixs, out, dims_t):
+    """Traced body of the entry-driven tier: one cached dispatch per
+    (spec-structure, shapes) key."""
+    p, q = pq
+    dims = dict(dims_t)
+    cap = s.capacity
+    valid = jnp.arange(cap) < s.nnz
+    r = s.row_of_slot()
+    c = s.col_idx
+    if p == q:  # diagonal view of the sparse operand
+        valid = valid & (r == c)
+    v = jnp.where(valid, s.values[0].astype(jnp.float32), 0.0)
+    rs = jnp.where(valid, r, 0).astype(jnp.int32)
+    cs = jnp.where(valid, c, 0).astype(jnp.int32)
+    letter_val = {p: rs} if p == q else {p: rs, q: cs}
+    bound = set(letter_val)
+    dense_arrs = tuple(a.astype(jnp.float32) for a in dense_arrs)
+
+    out_s = tuple(ch for ch in out if ch in bound)
+    out_d = tuple(ch for ch in out if ch not in bound)
+    sub_out = "".join(out_d)
+
+    if dense_arrs:
+        sub_specs = ["".join(ch for ch in ix if ch not in bound)
+                     for ix in dense_ixs]
+        sub = ",".join(sub_specs) + "->" + sub_out
+
+        def per_entry(idx):
+            sliced = []
+            for ix, arr in zip(dense_ixs, dense_arrs):
+                a = arr
+                # bind sparse letters by scalar-indexing their axes,
+                # highest axis first so positions stay valid
+                for ax in sorted(
+                    (k for k, ch in enumerate(ix) if ch in bound),
+                    reverse=True,
+                ):
+                    a = jnp.take(a, idx[ix[ax]], axis=ax)
+                sliced.append(a)
+            return jnp.einsum(sub, *sliced,
+                              preferred_element_type=jnp.float32)
+
+        contrib = jax.vmap(per_entry)(
+            {ch: iv for ch, iv in letter_val.items()}
+        )
+        contrib = v.reshape((cap,) + (1,) * (contrib.ndim - 1)) * contrib
+    else:
+        contrib = v.reshape((cap,) + (1,) * len(out_d))
+        contrib = jnp.broadcast_to(
+            contrib, (cap,) + tuple(dims[ch] for ch in out_d))
+
+    if out_s:
+        shape0 = tuple(dims[ch] for ch in out_s + out_d)
+        idxs = tuple(
+            jnp.where(valid, letter_val[ch], dims[ch]) for ch in out_s
+        )
+        res0 = jnp.zeros(shape0, jnp.float32).at[idxs].add(
+            contrib, mode="drop")
+    else:
+        res0 = jnp.sum(contrib, axis=0)
+    # reorder (out_s ++ out_d) axes into the requested output order
+    order0 = out_s + out_d
+    perm = tuple(order0.index(ch) for ch in out)
+    return jnp.transpose(res0, perm) if perm != tuple(
+        range(len(out))) else res0
 
 
 # ---------------------------------------------------------------------------

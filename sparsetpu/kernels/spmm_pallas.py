@@ -48,27 +48,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def tile_sparse_operand(a, rows_per_tile: int = 8):
+def tile_sparse_operand(a, rows_per_tile: int = 8,
+                        n_cols_p: Optional[int] = None,
+                        pad_rows: bool = False):
     """Host-side prep of the static sparse operand A for the Pallas kernel.
 
     Returns (cnt i32[T], cols i32[T,1,E], lrow i32[T,1,E], vals f32[T,1,E],
     meta) with T = n_rows / rows_per_tile output-row tiles and E = max
     entries in any tile; cnt is padded to a nonzero multiple of NBUF and
     padded slots are zero no-op entries the branch-free pipeline executes.
-    The (T, 1, E) layout makes the per-tile SMEM block (1, 1, E) legal."""
+    The (T, 1, E) layout makes the per-tile SMEM block (1, 1, E) legal.
+
+    ``n_cols_p`` is the dense operand's column count (defaults to a.n_cols,
+    i.e. the square chain case where P's width is A's width); ``pad_rows``
+    rounds the output row count up to a multiple of rows_per_tile with
+    empty virtual rows (callers slice the padding off the result)."""
     n = a.n_rows
+    if pad_rows:
+        n = _round_up(n, rows_per_tile)
     assert n % rows_per_tile == 0, (n, rows_per_tile)
     row_ptr, col_idx, vals_np = a.to_numpy()
     if len(vals_np) and float(vals_np.max()) >= float(1 << 24):
         raise ValueError("pallas spmm requires values < 2^24")
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), np.diff(row_ptr))
     t_count = n // rows_per_tile
     tile_of_entry = rows // rows_per_tile
     counts = np.bincount(tile_of_entry, minlength=t_count)
     # offsets pre-scaled by the plane count S: the DMA issue rate on the
     # scalar core is the kernel's throughput limit, so the issue loop should
     # do no arithmetic beyond the SMEM loads
-    s_planes = _round_up(_round_up(a.n_cols, 128) // 128, 8)
+    s_planes = _round_up(
+        _round_up(n_cols_p or a.n_cols, 128) // 128, 8)
     # per-tile counts padded to a nonzero multiple of NBUF: the kernel's
     # pipeline is branch-free, so padded entries (col/lrow offset 0, val 0)
     # really run — a DMA of P row 0 and a zero FMA
@@ -88,6 +98,7 @@ def tile_sparse_operand(a, rows_per_tile: int = 8):
         jnp.asarray(cols),
         jnp.asarray(lrow),
         jnp.asarray(vals),
+        # n_rows is the (possibly padded) output row count
         dict(rows_per_tile=rows_per_tile, n_rows=n, s_planes=s_planes),
     )
 
@@ -150,11 +161,11 @@ def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8):
     row-plane layout (n, S, 128).  Returns C as (n, S, 128) — directly
     usable as the next chain step's P."""
     t_count, _, e_max = cols.shape
-    n, s_planes, lane = p.shape
+    n_p, s_planes, lane = p.shape
     assert lane == 128, p.shape
     assert s_planes % 8 == 0, p.shape
-    assert t_count * rows_per_tile == n, (t_count, rows_per_tile, n)
-    p_flat = p.reshape(n * s_planes, lane)
+    n = t_count * rows_per_tile  # output rows (== n_p in the square chain)
+    p_flat = p.reshape(n_p * s_planes, lane)
     entry_spec = pl.BlockSpec(
         (1, 1, e_max), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM
     )

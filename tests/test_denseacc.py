@@ -1,0 +1,53 @@
+"""Dense-accumulator SpGEMM (ops/denseacc.py) vs scipy, exact u64 counts.
+
+The tier-2 agreement battery (SURVEY §4.2): same questions as the other
+SpGEMM kernels — torus, ER, non-8-divisible rows, rectangular-compatible
+pair, overflow poisoning."""
+
+import numpy as np
+import pytest
+import scipy.sparse as ss
+
+from sparsetpu.csr import SparseCSR
+from sparsetpu.graphs.generate import lattice, random_graph
+from sparsetpu.ops.denseacc import spgemm_dense_acc
+
+
+def _scipy_csr(coo):
+    r, c, v, n = coo
+    return ss.coo_matrix((v.astype(np.int64), (r, c)), shape=(n, n)).tocsr()
+
+
+@pytest.mark.parametrize(
+    "coo",
+    [lattice((5, 5, 5), True), random_graph(100, 700, seed=3),
+     random_graph(123, 700, seed=4)],
+    ids=["torus555", "er100", "er123-nondiv8"],
+)
+def test_dense_acc_matches_scipy(coo):
+    r, c, v, n = coo
+    a = SparseCSR.from_coo_host(r, c, v, n)
+    out = spgemm_dense_acc(a, a).check()
+    sc = _scipy_csr(coo) @ _scipy_csr(coo)
+    assert int(out.nnz) == sc.nnz
+    assert np.array_equal(out.to_dense_numpy().astype(np.int64), sc.toarray())
+
+
+def test_dense_acc_pair():
+    ca = random_graph(64, 300, seed=5)
+    cb = random_graph(64, 500, seed=6)
+    a = SparseCSR.from_coo_host(*ca)
+    b = SparseCSR.from_coo_host(*cb)
+    out = spgemm_dense_acc(a, b).check()
+    assert np.array_equal(
+        out.to_dense_numpy().astype(np.int64),
+        (_scipy_csr(ca) @ _scipy_csr(cb)).toarray(),
+    )
+
+
+def test_dense_acc_undersized_cap_poisons():
+    coo = random_graph(100, 700, seed=3)
+    a = SparseCSR.from_coo_host(*coo)
+    out = spgemm_dense_acc(a, a, out_cap=8)
+    with pytest.raises(ValueError):
+        out.check()

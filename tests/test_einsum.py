@@ -404,3 +404,64 @@ class TestChainPlanner:
         (got,) = einsum("ab,ba,bc->ac", [x, y, z], sr=F32SR)
         want = np.einsum("ab,ba,bc->ac", x, y, z)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+class TestEntryDriven:
+    """Tier-2 entry-driven lowering: one sparse operand, arbitrary spec
+    (traces, reductions, masks, N-D dense partners, free-letter products);
+    differential vs np.einsum on small-int f32 (bit-exact)."""
+
+    def _sp(self, shape, seed, density=0.4):
+        rng = np.random.default_rng(seed)
+        d = rng.integers(0, 4, size=shape).astype(np.float32)
+        d *= rng.random(shape) < density
+        return d, SparseCSR.from_dense_numpy(d, sr=F32SR)
+
+    @pytest.mark.parametrize(
+        "spec,dense_shapes",
+        [
+            ("ab->a", []),                 # row sums
+            ("ab->b", []),                 # col sums
+            ("ab->", []),                  # full reduction
+            ("aa->", []),                  # sparse trace
+            ("aa->a", []),                 # sparse diagonal
+            ("ab,ab->ab", [(5, 6)]),       # elementwise mask
+            ("ab,ab->a", [(5, 6)]),        # masked row reduce
+            ("ab,bcd->acd", [(6, 3, 4)]),  # 3-D dense partner
+            ("ab,ac->abc", [(5, 4)]),      # free-letter outer product
+            ("ab,acd->bcd", [(5, 3, 4)]),  # bind row, free dense letters
+            ("ab,cb,cd->ad", [(7, 6), (7, 4)]),  # sparse + 2 dense
+            ("ab,b,a->", [(6,), (5,)]),    # bilinear form to scalar
+        ],
+    )
+    def test_vs_numpy(self, spec, dense_shapes):
+        n_letters = {"a": 5, "b": 6, "c": 7, "d": 4}
+        ins = parse_spec(spec).inputs
+        sp_shape = tuple(n_letters[ch] for ch in ins[0])
+        if ins[0][0] == ins[0][1] if len(ins[0]) == 2 else False:
+            sp_shape = (n_letters[ins[0][0]],) * 2
+        dnp, s = self._sp(sp_shape, seed=hash(spec) % 1000)
+        rng = np.random.default_rng(1 + hash(spec) % 1000)
+        dense = [rng.integers(0, 4, size=sh).astype(np.float32)
+                 for sh in dense_shapes]
+        got = einsum(spec, [s, *dense])[0]
+        want = np.einsum(spec, dnp, *dense)
+        assert np.array_equal(np.asarray(got), want), spec
+
+    def test_sparse_in_second_position(self):
+        dnp, s = self._sp((5, 6), seed=9)
+        d = np.arange(30, dtype=np.float32).reshape(5, 6) % 3
+        got = einsum("ab,ab->b", [d, s])[0]
+        assert np.array_equal(np.asarray(got), np.einsum("ab,ab->b", d, dnp))
+
+    def test_engine_routes_entry_driven(self, monkeypatch):
+        """The specs above must NOT go through the densifying fallback."""
+        from sparsetpu.einsum import engine as eng
+
+        def boom(*a, **k):
+            raise AssertionError("fallback taken")
+
+        monkeypatch.setattr(eng, "_fallback_loop_nest", boom)
+        dnp, s = self._sp((5, 5), seed=3)
+        got = einsum("aa->", [s])[0]
+        assert np.array_equal(np.asarray(got), np.einsum("aa->", dnp))
