@@ -415,6 +415,39 @@ class SparseCSR:
             return vals[s + i]
         return type(vals[0])(0) if len(vals) else 0
 
+    def lookup(self, rows, cols) -> Value:
+        """Vectorized device-side coordinate lookup: limb values at
+        (rows[i], cols[i]), zeros where absent.  Per-query binary search of
+        the row's col_idx segment — static log2(capacity) iterations of
+        vectorized gathers, all queries in parallel; the device analog of
+        ``get`` and of the reference's binary-search accessor
+        (src/graph_csr.rs:250-257).  Out-of-range rows return zeros."""
+        rows = jnp.asarray(rows, jnp.int32)
+        cols = jnp.asarray(cols, jnp.int32)
+        ok_r = (rows >= 0) & (rows < self.n_rows)
+        r_safe = jnp.clip(rows, 0, self.n_rows - 1)
+        lo0 = jnp.where(ok_r, self.row_ptr[r_safe], 0)
+        hi0 = jnp.where(ok_r, self.row_ptr[r_safe + 1], 0)
+        n_iter = max(self.capacity.bit_length(), 1)
+
+        def body(_, lh):
+            lo, hi = lh
+            act = lo < hi
+            mid = (lo + hi) // 2
+            v = self.col_idx[jnp.clip(mid, 0, self.capacity - 1)]
+            go = v < cols
+            lo = jnp.where(act & go, mid + 1, lo)
+            hi = jnp.where(act & ~go, mid, hi)
+            return lo, hi
+
+        lo, _ = jax.lax.fori_loop(0, n_iter, body, (lo0, hi0))
+        pos = jnp.clip(lo, 0, self.capacity - 1)
+        hit = ok_r & (lo < hi0) & (self.col_idx[pos] == cols)
+        return tuple(
+            jnp.where(hit, l[pos], jnp.zeros((), l.dtype))
+            for l in self.values
+        )
+
     def transpose(self, capacity: Optional[int] = None) -> "SparseCSR":
         cap = capacity or self.capacity
         valid = jnp.arange(self.capacity) < self.nnz

@@ -377,12 +377,15 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
     (linalg/src/einsum.rs:591-626).  Covers sparse traces (``aa->``),
     row/col reductions (``ab->a``), elementwise masks (``ab,ab->ab``),
     N-D dense partners (``ab,bcd->acd``), and free-sparse-letter products
-    (``ab,ac->abc``) — everything the matmul tiers above reject short of
-    multiple sparse operands."""
+    (``ab,ac->abc``).  Additional sparse operands join the schedule when
+    BOTH their letters are bound by the driving operand (``ab,ab->``,
+    ``ab,ba->``, sparse-sparse masks): each is read by an O(log nnz)
+    per-entry coordinate ``lookup`` — the VM's sparse-value cache role
+    (einsum-dyn/src/sparse.rs:392-406)."""
     if sr.name != "f32":
         return None
     sparse_pos = [i for i, inf in enumerate(infos) if inf[0] == "sparse"]
-    if len(sparse_pos) != 1 or any(i[0] == "grouped" for i in infos):
+    if not sparse_pos or any(i[0] == "grouped" for i in infos):
         return None
     si = sparse_pos[0]
     s_ix = parsed.inputs[si]
@@ -390,32 +393,46 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
         return None
     p, q = s_ix
     s: SparseCSR = operands[si]
+    bound = {p} if p == q else {p, q}
 
+    # other sparse operands: both letters must be bound by the driver
+    extra_sparse: List[SparseCSR] = []
+    extra_ixs = []
+    for j in sparse_pos[1:]:
+        ix = parsed.inputs[j]
+        if len(ix) != 2 or not set(ix) <= bound:
+            return None
+        extra_sparse.append(operands[j])
+        extra_ixs.append(tuple(ix))
+
+    rest = set(sparse_pos)
     dense_ixs = tuple(
-        tuple(ix) for j, ix in enumerate(parsed.inputs) if j != si
+        tuple(ix) for j, ix in enumerate(parsed.inputs) if j not in rest
     )
-    dense_arrs = [infos[j][2][0] for j in range(len(operands)) if j != si]
+    dense_arrs = [infos[j][2][0] for j in range(len(operands))
+                  if j not in rest]
     # repeated letters inside a dense operand (diagonals) are out of this
     # tier's scope — leave to the fallback
     if any(len(set(ix)) != len(ix) for ix in dense_ixs):
         return None
 
-    bound = {p} if p == q else {p, q}
     unbound = [ch for ch in parsed.slots if ch not in bound]
     work = s.capacity * int(np.prod([dims[ch] for ch in unbound]) or 1)
     if work > ENTRY_DRIVEN_MAX_ELEMS:
         return None
 
     result = _entry_driven_exec(
-        s, tuple(dense_arrs),
-        pq=(p, q), dense_ixs=dense_ixs, out=tuple(out),
-        dims_t=tuple(sorted(dims.items())),
+        s, tuple(dense_arrs), tuple(extra_sparse),
+        pq=(p, q), dense_ixs=dense_ixs, extra_ixs=tuple(extra_ixs),
+        out=tuple(out), dims_t=tuple(sorted(dims.items())),
     )
     return _pack_output(result, out, dims, sr, out_format)
 
 
-@partial(jax.jit, static_argnames=("pq", "dense_ixs", "out", "dims_t"))
-def _entry_driven_exec(s: SparseCSR, dense_arrs, pq, dense_ixs, out, dims_t):
+@partial(jax.jit, static_argnames=("pq", "dense_ixs", "extra_ixs", "out",
+                                   "dims_t"))
+def _entry_driven_exec(s: SparseCSR, dense_arrs, extra_sparse, pq, dense_ixs,
+                       extra_ixs, out, dims_t):
     """Traced body of the entry-driven tier: one cached dispatch per
     (spec-structure, shapes) key."""
     p, q = pq
@@ -431,6 +448,10 @@ def _entry_driven_exec(s: SparseCSR, dense_arrs, pq, dense_ixs, out, dims_t):
     cs = jnp.where(valid, c, 0).astype(jnp.int32)
     letter_val = {p: rs} if p == q else {p: rs, q: cs}
     bound = set(letter_val)
+    # extra sparse operands: per-entry coordinate lookup, fold into v
+    for s2, ix in zip(extra_sparse, extra_ixs):
+        (v2,) = s2.lookup(letter_val[ix[0]], letter_val[ix[1]])
+        v = v * v2.astype(jnp.float32)
     dense_arrs = tuple(a.astype(jnp.float32) for a in dense_arrs)
 
     out_s = tuple(ch for ch in out if ch in bound)

@@ -454,6 +454,40 @@ class TestEntryDriven:
         got = einsum("ab,ab->b", [d, s])[0]
         assert np.array_equal(np.asarray(got), np.einsum("ab,ab->b", d, dnp))
 
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            "ab,ab->ab",   # sparse-sparse elementwise mask
+            "ab,ab->",     # sparse-sparse dot
+            "ab,ba->",     # trace of product, both sparse
+            "ab,ab->a",    # masked row reduce, both sparse
+            "ab,ba,b->a",  # two sparse + a dense vector
+        ],
+    )
+    def test_two_sparse_operands(self, spec):
+        dims = {"a": 5, "b": 6}
+        ins = parse_spec(spec).inputs
+        d0, s0 = self._sp(tuple(dims[ch] for ch in ins[0]), seed=21)
+        d1, s1 = self._sp(tuple(dims[ch] for ch in ins[1]), seed=22)
+        dense = [
+            np.arange(np.prod([dims[ch] for ch in ix]),
+                      dtype=np.float32).reshape(
+                          [dims[ch] for ch in ix]) % 3
+            for ix in ins[2:]
+        ]
+        got = einsum(spec, [s0, s1, *dense])[0]
+        want = np.einsum(spec, d0, d1, *dense)
+        assert np.array_equal(np.asarray(got), want), spec
+
+    def test_lookup_primitive(self):
+        d, s = self._sp((7, 9), seed=30)
+        rows = np.array([0, 3, 6, 2, 8, -1], np.int32)
+        cols = np.array([0, 5, 8, 100, 0, 2], np.int32)
+        (got,) = s.lookup(rows, cols)
+        want = [d[r, c] if 0 <= r < 7 and 0 <= c < 9 else 0.0
+                for r, c in zip(rows, cols)]
+        assert np.array_equal(np.asarray(got), np.float32(want))
+
     def test_engine_routes_entry_driven(self, monkeypatch):
         """The specs above must NOT go through the densifying fallback."""
         from sparsetpu.einsum import engine as eng
