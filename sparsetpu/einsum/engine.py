@@ -304,10 +304,11 @@ def _try_sparse_chain(parsed, out, operands, infos, dims, sr,
                 item[1] if isinstance(item[1], SparseCSR)
                 else _as_csr(item[1], item[2], sr, transpose=False)
             )
-        return item[3].transpose() if transpose else item[3]
+        return _transpose_jit(item[3]) if transpose else item[3]
 
     while len(items) > 1:
-        found = None
+        found = None      # first contractible pair (may need transposes)
+        found_free = None  # first transpose-free orientation — preferred
         for ia in range(len(items)):
             for ib in range(ia + 1, len(items)):
                 shared = set(items[ia][0]) & set(items[ib][0])
@@ -321,10 +322,19 @@ def _try_sparse_chain(parsed, out, operands, infos, dims, sr,
                 y = b_l[0] if b_l[1] == k else b_l[1]
                 if x == y:
                     continue
-                found = (ia, ib, k, x, y)
+                # orient the pair so the shared letter is lhs-col/rhs-row
+                # (transposes are full COO re-sorts — avoid when possible)
+                if a_l[1] == k and b_l[0] == k:
+                    found_free = (ia, ib, k, x, y)   # a @ b as-is
+                elif b_l[1] == k and a_l[0] == k:
+                    found_free = (ib, ia, k, y, x)   # b @ a as-is
+                elif found is None:
+                    found = (ia, ib, k, x, y)        # needs transpose(s)
+                if found_free:
+                    break
+            if found_free:
                 break
-            if found:
-                break
+        found = found_free or found
         if not found:
             return None
         ia, ib, k, x, y = found
@@ -340,13 +350,16 @@ def _try_sparse_chain(parsed, out, operands, infos, dims, sr,
     letters = items[0][0]
     c = as_csr(items[0], transpose=False)
     if letters == tuple(out)[::-1]:
-        c = c.transpose()
+        c = _transpose_jit(c)
     elif letters != tuple(out):
         return None
     if out_format == "sparse":
         return c
     dense = c.to_dense()
     return dense if sr.nlimbs > 1 else dense[0]
+
+
+_transpose_jit = jax.jit(lambda s: s.transpose())
 
 
 def _as_csr(op, info, sr: Semiring, transpose: bool) -> SparseCSR:
