@@ -391,32 +391,56 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
     row/col reductions (``ab->a``), elementwise masks (``ab,ab->ab``),
     N-D dense partners (``ab,bcd->acd``), and free-sparse-letter products
     (``ab,ac->abc``).  Additional sparse operands join the schedule when
-    BOTH their letters are bound by the driving operand (``ab,ab->``,
+    ALL their letters are bound by the driving operand (``ab,ab->``,
     ``ab,ba->``, sparse-sparse masks): each is read by an O(log nnz)
     per-entry coordinate ``lookup`` — the VM's sparse-value cache role
-    (einsum-dyn/src/sparse.rs:392-406)."""
+    (einsum-dyn/src/sparse.rs:392-406).  A 3-D GroupedCSR may drive too:
+    its flat block-diagonal entry stream binds the (batch, row, col)
+    letters — the VM v2 compound-row walk (linalg/src/einsum.rs:209-232)
+    — covering batched specs like ``bij,jk->bik`` and ``bij->bi``."""
+    from ..grouped import GroupedCSR
+
     if sr.name != "f32":
         return None
-    sparse_pos = [i for i, inf in enumerate(infos) if inf[0] == "sparse"]
-    if not sparse_pos or any(i[0] == "grouped" for i in infos):
+    sparse_pos = [i for i, inf in enumerate(infos)
+                  if inf[0] in ("sparse", "grouped")]
+    if not sparse_pos:
         return None
     si = sparse_pos[0]
     s_ix = parsed.inputs[si]
-    if len(s_ix) != 2:
-        return None
-    p, q = s_ix
-    s: SparseCSR = operands[si]
-    bound = {p} if p == q else {p, q}
+    s = operands[si]
+    if isinstance(s, GroupedCSR):
+        if len(s_ix) != 3 or len(set(s_ix)) != 3:
+            return None
+        drv = ("grouped", tuple(s_ix), s.n, s.m)
+        s_flat = s.flat
+        bound = set(s_ix)
+    else:
+        if len(s_ix) != 2:
+            return None
+        p, q = s_ix
+        drv = ("csr", (p, q))
+        s_flat = s
+        bound = {p} if p == q else {p, q}
 
-    # other sparse operands: both letters must be bound by the driver
-    extra_sparse: List[SparseCSR] = []
-    extra_ixs = []
+    # other sparse operands: every letter must be bound by the driver
+    extra_flats: List[SparseCSR] = []
+    extra = []
     for j in sparse_pos[1:]:
         ix = parsed.inputs[j]
-        if len(ix) != 2 or not set(ix) <= bound:
+        o = operands[j]
+        if not set(ix) <= bound:
             return None
-        extra_sparse.append(operands[j])
-        extra_ixs.append(tuple(ix))
+        if isinstance(o, GroupedCSR):
+            if len(ix) != 3:
+                return None
+            extra_flats.append(o.flat)
+            extra.append(("grouped", tuple(ix), o.n, o.m))
+        else:
+            if len(ix) != 2:
+                return None
+            extra_flats.append(o)
+            extra.append(("csr", tuple(ix)))
 
     rest = set(sparse_pos)
     dense_ixs = tuple(
@@ -430,40 +454,57 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
         return None
 
     unbound = [ch for ch in parsed.slots if ch not in bound]
-    work = s.capacity * int(np.prod([dims[ch] for ch in unbound]) or 1)
+    work = s_flat.capacity * int(np.prod([dims[ch] for ch in unbound]) or 1)
     if work > ENTRY_DRIVEN_MAX_ELEMS:
         return None
 
     result = _entry_driven_exec(
-        s, tuple(dense_arrs), tuple(extra_sparse),
-        pq=(p, q), dense_ixs=dense_ixs, extra_ixs=tuple(extra_ixs),
+        s_flat, tuple(dense_arrs), tuple(extra_flats),
+        drv=drv, dense_ixs=dense_ixs, extra=tuple(extra),
         out=tuple(out), dims_t=tuple(sorted(dims.items())),
     )
     return _pack_output(result, out, dims, sr, out_format)
 
 
-@partial(jax.jit, static_argnames=("pq", "dense_ixs", "extra_ixs", "out",
+@partial(jax.jit, static_argnames=("drv", "dense_ixs", "extra", "out",
                                    "dims_t"))
-def _entry_driven_exec(s: SparseCSR, dense_arrs, extra_sparse, pq, dense_ixs,
-                       extra_ixs, out, dims_t):
+def _entry_driven_exec(s: SparseCSR, dense_arrs, extra_flats, drv, dense_ixs,
+                       extra, out, dims_t):
     """Traced body of the entry-driven tier: one cached dispatch per
-    (spec-structure, shapes) key."""
-    p, q = pq
+    (spec-structure, shapes) key.  ``drv``/``extra`` entries are
+    ("csr", letters) or ("grouped", letters, n, m) layout descriptors
+    for the flat SparseCSR pytrees."""
     dims = dict(dims_t)
     cap = s.capacity
     valid = jnp.arange(cap) < s.nnz
     r = s.row_of_slot()
     c = s.col_idx
-    if p == q:  # diagonal view of the sparse operand
-        valid = valid & (r == c)
+    if drv[0] == "grouped":
+        _, (lb, li, lj), n, m = drv
+        b = jnp.where(valid, r // n, 0).astype(jnp.int32)
+        letter_val = {
+            lb: b,
+            li: jnp.where(valid, r % n, 0).astype(jnp.int32),
+            lj: jnp.where(valid, c - b * m, 0).astype(jnp.int32),
+        }
+    else:
+        p, q = drv[1]
+        if p == q:  # diagonal view of the sparse operand
+            valid = valid & (r == c)
+        letter_val = {p: jnp.where(valid, r, 0).astype(jnp.int32)}
+        if p != q:
+            letter_val[q] = jnp.where(valid, c, 0).astype(jnp.int32)
     v = jnp.where(valid, s.values[0].astype(jnp.float32), 0.0)
-    rs = jnp.where(valid, r, 0).astype(jnp.int32)
-    cs = jnp.where(valid, c, 0).astype(jnp.int32)
-    letter_val = {p: rs} if p == q else {p: rs, q: cs}
     bound = set(letter_val)
     # extra sparse operands: per-entry coordinate lookup, fold into v
-    for s2, ix in zip(extra_sparse, extra_ixs):
-        (v2,) = s2.lookup(letter_val[ix[0]], letter_val[ix[1]])
+    for s2, e in zip(extra_flats, extra):
+        if e[0] == "grouped":
+            _, (xb, xi, xj), n2, m2 = e
+            (v2,) = s2.lookup(letter_val[xb] * n2 + letter_val[xi],
+                              letter_val[xb] * m2 + letter_val[xj])
+        else:
+            ix = e[1]
+            (v2,) = s2.lookup(letter_val[ix[0]], letter_val[ix[1]])
         v = v * v2.astype(jnp.float32)
     dense_arrs = tuple(a.astype(jnp.float32) for a in dense_arrs)
 

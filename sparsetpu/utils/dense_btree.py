@@ -99,6 +99,56 @@ class DenseBTreeList:
         return int(self.data_start[row]) + local
 
 
+# ---------------------------------------------------------------------------
+# device-side K-ary lookup (the CsrBTree row-index experiment, on TPU)
+# ---------------------------------------------------------------------------
+
+def build_device_btree(keys: np.ndarray):
+    """Pack a sorted uint32 key array into the flat K-ary level layout on
+    device.  Keys are padded to a power of K with 0xFFFFFFFF sentinels so a
+    node's K separators are one contiguous (Q, K) gather per level — the
+    TPU translation of the reference's cache-line-friendly node layout
+    (src/dense_btree.rs:9-331).  Returns (levels root-first, padded keys);
+    queries must be < 0xFFFFFFFF."""
+    import jax.numpy as jnp
+
+    keys = np.ascontiguousarray(keys, np.uint32)
+    n = max(len(keys), 1)
+    depth = 1
+    while K ** depth < n:
+        depth += 1
+    padded = np.full(K ** depth, np.uint32(0xFFFFFFFF))
+    padded[: len(keys)] = keys
+    levels = []
+    s = K
+    while s < len(padded):
+        levels.append(jnp.asarray(padded[s - 1 :: s]))
+        s *= K
+    levels.reverse()  # root (K separators) first
+    return levels, jnp.asarray(padded)
+
+
+def btree_lookup_device(levels, keys, q):
+    """Vectorized K-ary descent: per level one (Q, K) contiguous gather +
+    a compare/sum, vs binary search's log2(n) scattered (Q,) gathers.
+    Returns (pos, hit) like searchsorted + equality."""
+    import jax.numpy as jnp
+
+    node = jnp.zeros(q.shape, jnp.int32)
+    offs = jnp.arange(K, dtype=jnp.int32)[None, :]
+    for lvl in levels:
+        base = node * K
+        vals = lvl[base[:, None] + offs]          # (Q, K) contiguous
+        cnt = jnp.sum(vals < q[:, None], axis=1).astype(jnp.int32)
+        node = base + cnt
+    base = node * K
+    vals = keys[base[:, None] + offs]
+    cnt = jnp.sum(vals < q[:, None], axis=1).astype(jnp.int32)
+    pos = base + cnt
+    hit = keys[jnp.clip(pos, 0, keys.shape[0] - 1)] == q
+    return pos, hit
+
+
 def overhead_sweep(max_n: int = 10000, step: int = 117) -> str:
     """CSV of storage overhead vs n (btree_overhead.csv analog)."""
     lines = ["n,overhead"]

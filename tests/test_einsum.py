@@ -479,6 +479,47 @@ class TestEntryDriven:
         want = np.einsum(spec, d0, d1, *dense)
         assert np.array_equal(np.asarray(got), want), spec
 
+    @pytest.mark.parametrize(
+        "spec",
+        [
+            "bij->bi",       # batched row sums
+            "bij->b",        # per-batch reduction
+            "bij,jk->bik",   # batched SpMM against a shared dense rhs
+            "bij,bj->bi",    # batched SpMV
+            "bij,bij->b",    # two grouped: per-batch dot
+            "bij,ij->bij",   # grouped masked by a 2-D sparse
+        ],
+    )
+    def test_grouped_driver(self, spec):
+        from sparsetpu.grouped import GroupedCSR
+
+        dims = {"b": 3, "i": 5, "j": 6, "k": 4}
+        rng = np.random.default_rng(41)
+        ins = parse_spec(spec).inputs
+        d0 = (rng.integers(0, 4, (3, 5, 6))
+              * (rng.random((3, 5, 6)) < 0.4)).astype(np.float32)
+        g0 = GroupedCSR.from_dense(d0, sr=F32SR)
+        args = [g0]
+        nps = [d0]
+        for ix in ins[1:]:
+            sh = tuple(dims[ch] for ch in ix)
+            if ix == ("b", "i", "j"):
+                d1 = (rng.integers(0, 4, sh)
+                      * (rng.random(sh) < 0.4)).astype(np.float32)
+                args.append(GroupedCSR.from_dense(d1, sr=F32SR))
+                nps.append(d1)
+            elif ix == ("i", "j"):
+                d1, s1 = self._sp(sh, seed=55)
+                args.append(s1)
+                nps.append(d1)
+            else:
+                d1 = rng.integers(0, 4, sh).astype(np.float32)
+                args.append(d1)
+                nps.append(d1)
+        got = einsum(spec, args)[0]
+        want = np.einsum(spec, *nps)
+        assert np.array_equal(np.asarray(got), want), spec
+
     def test_lookup_primitive(self):
         d, s = self._sp((7, 9), seed=30)
         rows = np.array([0, 3, 6, 2, 8, -1], np.int32)
