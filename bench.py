@@ -89,7 +89,7 @@ def main():
     parser.add_argument("--algo",
                         choices=["auto", "pallas", "dense", "band", "esc",
                                  "rowcat", "escb"],
-                        default="pallas",
+                        default="auto",
                         help="auto = self-route via ops.hybrid.choose_strategy "
                              "(the MagnusConfig role); pallas = DMA-ring "
                              "dense-accumulator kernel (speed-of-light for "
