@@ -200,6 +200,171 @@ def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8):
     return out.reshape(n, s_planes, lane)
 
 
+# ---------------------------------------------------------------------------
+# MXU variant: group-dot accumulation
+# ---------------------------------------------------------------------------
+#
+# The VPU kernel above is issue-loop bound: the dma_share probe
+# (scripts/probe_spmm.py) measures ~300 ns/entry of scalar-loop + per-entry
+# (S, 128) FMA dispatch with the DMA starts themselves only ~40-120 ns.
+# This variant removes the per-entry VPU dispatch: G entries form a group;
+# their P rows land in one (G*S, 128) buffer; a host-precomputed (R, G)
+# tile matrix M (M[lrow_e, e] = val_e) turns the G accumulations into ONE
+# MXU contraction  out(R, S, 128) += M(R, G) @ B(G, S, 128)  per group.
+# Exactness: M holds A's values (small ints, bf16-exact); B < 2^24;
+# Precision.HIGHEST makes the f32 MXU passes exact for these ranges.
+
+G_MXU = 32  # entries per group (double-buffered: 2 x G x (S,128) in VMEM)
+
+
+def tile_sparse_operand_mxu(a, rows_per_tile: int = 24, g: int = G_MXU,
+                            n_cols_p: Optional[int] = None,
+                            pad_rows: bool = False):
+    """Host prep for the MXU kernel: per-tile DMA column stream (cnt padded
+    to a nonzero multiple of 2g) + the per-group (R, G) tile matrices."""
+    n = a.n_rows
+    if pad_rows:
+        n = _round_up(n, rows_per_tile)
+    assert n % rows_per_tile == 0, (n, rows_per_tile)
+    row_ptr, col_idx, vals_np = a.to_numpy()
+    if len(vals_np) and float(vals_np.max()) >= float(1 << 24):
+        raise ValueError("pallas spmm requires values < 2^24")
+    if len(vals_np) and float(vals_np.max()) >= 256.0:
+        raise ValueError("mxu spmm requires static-operand values < 2^8 "
+                         "(bf16-exact tile matrix)")
+    rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), np.diff(row_ptr))
+    t_count = n // rows_per_tile
+    tile_of_entry = rows // rows_per_tile
+    counts = np.bincount(tile_of_entry, minlength=t_count)
+    s_planes = _round_up(
+        _round_up(n_cols_p or a.n_cols, 128) // 128, 8)
+    cnt = np.maximum(_round_up_arr(counts, 2 * g), 2 * g).astype(np.int32)
+    e_max = int(cnt.max())
+    ngmax = e_max // g
+    cols = np.zeros((t_count, 1, e_max), np.int32)
+    m = np.zeros((t_count, ngmax * rows_per_tile, g), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for t in range(t_count):
+        s0, c = int(starts[t]), int(counts[t])
+        cols[t, 0, :c] = col_idx[s0:s0 + c] * s_planes
+        lr = (rows[s0:s0 + c] - t * rows_per_tile).astype(np.int64)
+        e = np.arange(c)
+        m[t, (e // g) * rows_per_tile + lr, e % g] = \
+            vals_np[s0:s0 + c].astype(np.float32)
+    return (
+        jnp.asarray(cnt),
+        jnp.asarray(cols),
+        jnp.asarray(m),
+        dict(rows_per_tile=rows_per_tile, n_rows=n, s_planes=s_planes, g=g),
+    )
+
+
+def _round_up_arr(x, m: int):
+    return -(-x // m) * m
+
+
+def _spmm_mxu_kernel(s_planes, rpt, g, cnt_ref, cols_ref, m_ref, p_hbm,
+                     out_ref, row_buf, sem):
+    """One output-row tile, two group-slots in flight: while slot A's G row
+    slabs stream in, slot B's group contracts on the MXU."""
+    i = pl.program_id(0)
+    pairs = cnt_ref[i] // (2 * g)
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    def dma(slot, gi, e):
+        src = pl.multiple_of(cols_ref[0, 0, gi * g + e], 8)
+        return pltpu.make_async_copy(
+            p_hbm.at[pl.ds(src, s_planes), :],
+            row_buf.at[slot, pl.ds(e * s_planes, s_planes), :],
+            sem.at[slot, e],
+        )
+
+    def start_group(slot, gi):
+        for e in range(g):
+            dma(slot, gi, e).start()
+
+    def wait_group(slot, gi):
+        for e in range(g):
+            dma(slot, gi, e).wait()
+
+    def compute(slot, gi):
+        b = row_buf[slot].reshape(g, s_planes, 128)
+        mt = m_ref[0, pl.ds(pl.multiple_of(gi * rpt, 8), rpt), :]
+        acc = jax.lax.dot_general(
+            mt, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[:] += acc.reshape(rpt * s_planes, 128)
+
+    start_group(0, 0)
+    start_group(1, 1)
+
+    def body(gp, _):
+        base = 2 * gp
+        wait_group(0, base)
+        compute(0, base)
+        start_group(0, base + 2)
+        wait_group(1, base + 1)
+        compute(1, base + 1)
+        start_group(1, base + 3)
+        return 0
+
+    jax.lax.fori_loop(0, pairs - 1, body, 0)
+    last = 2 * (pairs - 1)
+    wait_group(0, last)
+    compute(0, last)
+    wait_group(1, last + 1)
+    compute(1, last + 1)
+
+
+@partial(jax.jit, static_argnames=("rows_per_tile", "g"))
+def spmm_pallas_mxu(cnt, cols, m, p, rows_per_tile: int = 24,
+                    g: int = G_MXU):
+    """C = A x P via per-group MXU contraction (tile_sparse_operand_mxu
+    prep).  Same layout contract as spmm_pallas: P and C are (n, S, 128)."""
+    t_count, _, e_max = cols.shape
+    n_p, s_planes, lane = p.shape
+    assert lane == 128, p.shape
+    assert s_planes % 8 == 0, p.shape
+    assert e_max % (2 * g) == 0, (e_max, g)
+    n = t_count * rows_per_tile
+    p_flat = p.reshape(n_p * s_planes, lane)
+    entry_spec = pl.BlockSpec(
+        (1, 1, e_max), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # cnt
+        grid=(t_count,),
+        in_specs=[
+            entry_spec,  # cols
+            pl.BlockSpec(  # per-tile group matrices (VMEM)
+                (1, m.shape[1], g), lambda i, *_: (i, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # P stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (rows_per_tile * s_planes, lane), lambda i, *_: (i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, g * s_planes, lane), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, g)),
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_spmm_mxu_kernel, s_planes, rows_per_tile, g),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n * s_planes, lane), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * int(cols.size) * rows_per_tile * s_planes * lane,
+            bytes_accessed=(int(cols.size) + n) * s_planes * lane * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(cnt, cols, m, p_flat)
+    return out.reshape(n, s_planes, lane)
+
+
 def to_row_planes(p, n_cols: Optional[int] = None) -> jnp.ndarray:
     """Dense (n, m) f32 -> row-plane layout (n, S, 128), zero-padding the
     columns to a multiple of 128."""

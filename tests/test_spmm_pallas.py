@@ -90,3 +90,42 @@ class TestFromCooHost:
         h = SparseCSR.from_coo_host([0, 1], [1, 0], [1.5, -2.0], 2, sr=F32SR)
         d = h.to_dense_numpy()
         assert d[0, 1] == np.float32(1.5) and d[1, 0] == np.float32(-2.0)
+
+
+@pytest.mark.parametrize("dims,rpt,g", [([4, 4, 4], 8, 4), ([8, 8], 16, 8),
+                                        ([4, 4, 4], 8, 32)])
+def test_spmm_mxu_matches_numpy(dims, rpt, g):
+    a = _torus(dims, 0.4, seed=dims[0] + 1)
+    n = a.n_rows
+    cnt, cols, m, meta = sp.tile_sparse_operand_mxu(a, rows_per_tile=rpt, g=g)
+    ad = a.to_dense_numpy().astype(np.float64)
+    rng = np.random.default_rng(1)
+    p_np = rng.integers(0, 5, size=(n, n)).astype(np.float32)
+    c = sp.spmm_pallas_mxu(cnt, cols, m, sp.to_row_planes(jnp.asarray(p_np)),
+                           rows_per_tile=rpt, g=g)
+    got = np.asarray(jax.device_get(sp.from_row_planes(c, n)))
+    want = (ad @ p_np.astype(np.float64)).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spmm_mxu_chain_matches_dense_chain():
+    from sparsetpu.bench.chain import host_f32_dense
+
+    a = _torus([4, 4, 4], 0.3, seed=7)
+    n = a.n_rows
+    cnt, cols, m, _ = sp.tile_sparse_operand_mxu(a, rows_per_tile=8, g=8)
+    ad = host_f32_dense(a).astype(np.float64)
+    p = sp.to_row_planes(jnp.asarray(ad, jnp.float32))
+    want = ad.copy()
+    for _ in range(3):  # A^2..A^4
+        c = sp.spmm_pallas_mxu(cnt, cols, m, p, rows_per_tile=8, g=8)
+        want = ad @ want
+        got = np.asarray(jax.device_get(sp.from_row_planes(c, n)))
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+        p = c
+
+
+def test_mxu_value_bound_guard():
+    a = SparseCSR.from_coo([0], [0], [300], 8, 8, sr=U64)
+    with pytest.raises(ValueError):
+        sp.tile_sparse_operand_mxu(a, rows_per_tile=8)
