@@ -69,6 +69,11 @@ def main():
     parser.add_argument("--rows-per-tile", type=int, default=24,
                         help="pallas kernel output-tile height (24 measured "
                              "best of {8,24} at 30^3; scripts/probe_spmm.py)")
+    parser.add_argument("--pallas-kernel", choices=["vpu", "mxu"],
+                        default="vpu",
+                        help="chain kernel variant: per-entry VPU FMA ring "
+                             "or per-group MXU contraction "
+                             "(scripts/probe_spmm_mxu.py A/B)")
     parser.add_argument("--no-verify", action="store_true",
                         help="skip the native-oracle agreement check "
                              "(reference discipline is agreement-then-time, "
@@ -176,7 +181,8 @@ def main():
                                    rows_per_tile=args.rows_per_tile,
                                    per_step=args.per_step or verify,
                                    reps=reps, keep_final=keep_final,
-                                   native_stats=host_out.get("native_stats"))
+                                   native_stats=host_out.get("native_stats"),
+                                   kernel=args.pallas_kernel)
     elif args.algo == "rowcat":
         results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "escb":

@@ -237,6 +237,7 @@ def run_chain_pallas(
     reps: int = 4,
     keep_final: Optional[dict] = None,
     native_stats: Optional[list] = None,
+    kernel: str = "vpu",
 ) -> List[ChainStep]:
     """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
     streamed HBM->VMEM per A-entry via a scalar-driven DMA ring — the
@@ -268,9 +269,14 @@ def run_chain_pallas(
 
     from ..kernels import spmm_pallas as sp
 
-    cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
-        a, rows_per_tile=rows_per_tile
-    )
+    if kernel == "mxu":
+        cnt_m, cols_m, m_mat, meta = sp.tile_sparse_operand_mxu(
+            a, rows_per_tile=rows_per_tile
+        )
+    else:
+        cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
+            a, rows_per_tile=rows_per_tile
+        )
     # densify + plane-layout ON DEVICE: a host-built (n, n) f32 P is a
     # multi-GB device_put through the remote tunnel (measured: tens of
     # minutes at 30^3) — the CSR operand is already resident, so scatter it
@@ -287,6 +293,9 @@ def run_chain_pallas(
     rnz_planes = jnp.asarray(rnz_np.reshape(s_planes, 128))
 
     def _step(p):
+        if kernel == "mxu":
+            return sp.spmm_pallas_mxu(cnt_m, cols_m, m_mat, p,
+                                      rows_per_tile=rows_per_tile)
         return sp.spmm_pallas(cnt, cols, lrow, vals, p,
                               rows_per_tile=rows_per_tile)
 
