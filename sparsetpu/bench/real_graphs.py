@@ -86,7 +86,8 @@ def structure_report(label: str, coo: tuple, a: SparseCSR,
 
 
 def bench_chain(label: str, a: SparseCSR, max_power: int,
-                iters: int = 2, verbose: bool = True) -> List[str]:
+                iters: int = 2, verbose: bool = True,
+                flush_fn=None) -> List[str]:
     """A^2..A^max_power with per-step escb timings and oracle nnz agreement
     on the first step (full-chain value agreement is the long test's job)."""
     import jax
@@ -97,6 +98,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
 
     rows: List[str] = []
     n = a.n_rows
+    flush = (lambda: flush_fn(rows)) if flush_fn else (lambda: None)
 
     # native-oracle agreement on A^2 (agreement-then-time discipline)
     rp_h, ci_h, v_h = a.to_numpy()
@@ -109,6 +111,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
         if flops > MAX_EXPANSION:
             line = f"{label},{n},{int(a.nnz)},{step},DNF_budget,{flops},0,escb"
             rows.append(line)
+            flush()
             if verbose:
                 print(line, flush=True)
             break
@@ -117,6 +120,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
         except ValueError as e:
             line = f"{label},{n},{int(a.nnz)},{step},DNF_{e},{flops},0,escb"
             rows.append(line)
+            flush()
             if verbose:
                 print(line, flush=True)
             break
@@ -132,6 +136,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
         line = (f"{label},{n},{int(a.nnz)},{step},{int(c.nnz)},{flops},"
                 f"{best:.6f},escb")
         rows.append(line)
+        flush()
         if verbose:
             print(f"{line}  ({flops/best/1e6:.1f} Mproducts/s)", flush=True)
         if int(c.nnz) > MAX_NNZ:
@@ -166,7 +171,13 @@ def main(argv=None):
         a = SparseCSR.from_coo_host(r, c, v, nn, sr=U64)
         for ln in structure_report(label, coo, a, with_rcm=not args.no_rcm):
             print("# " + ln, flush=True)
-        all_rows += bench_chain(label, a, args.max_power, iters=args.iters)
+        def _flush(pending):
+            # incremental: a killed run keeps completed steps
+            with open(args.out, "w") as f:
+                f.write("\n".join(all_rows + pending) + "\n")
+
+        all_rows += bench_chain(label, a, args.max_power, iters=args.iters,
+                                flush_fn=_flush)
         with open(args.out, "w") as f:
             f.write("\n".join(all_rows) + "\n")
     print(f"# wrote {args.out}", flush=True)
