@@ -21,4 +21,13 @@ timeout 3600 python scripts/probe_spmm_mxu.py 2>&1 | tail -30
 log stage10: btree16 vs binary lookup A/B
 timeout 2400 python scripts/probe_btree.py 2>&1 | tail -20
 
+log stage11: real graphs, no RCM pass (host BFS took 3.3 min on cora and
+# wedged 30+ min on nell in stage6; structure analysis minus RCM is fast)
+timeout 7200 python -m sparsetpu.bench.real_graphs --no-rcm \
+  --out bench_out/real_graphs.csv 2>&1 | tail -40
+
+log stage12: engine_bench with symmetric per-call/fused comparators
+timeout 2400 python -m sparsetpu.bench.engine_bench \
+  --out bench_out/engine_bench.csv 2>&1 | tail -20
+
 log batch3 done

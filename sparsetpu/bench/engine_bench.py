@@ -65,18 +65,33 @@ def run(n: int = 1024, nnz_per_row: int = 8, reps: int = 16,
         lambda bump: jnp.einsum("ab,bc->ac", x + bump * 1e-30, y,
                                 preferred_element_type=jnp.float32)[0, 0],
         reps=reps, iters=iters)
+    # engine calls are host-driven: each pays one device dispatch + sync
+    # (~tens of ms through the remote tunnel), which a fused-loop direct
+    # measurement amortizes away.  Time the direct path BOTH ways so the
+    # engine row is compared against the same per-call protocol and the
+    # fused row shows the pure kernel time.
+    jitted_mm = jax.jit(lambda x, y: jnp.einsum(
+        "ab,bc->ac", x, y, preferred_element_type=jnp.float32))
+    jitted_mm(x, y)  # warm
+
+    def percall(f):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_direct_call = percall(lambda: jitted_mm(x, y))
     # engine call: planning happens per call on the host; jit cache warm.
     # device-resident operands — feeding host arrays would time the
     # tunnel transfer (~3 s for 4096^2), not the engine
     einsum("ab,bc->ac", [x, y], sr=F32SR)  # warm
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        (out,) = einsum("ab,bc->ac", [x, y], sr=F32SR)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    emit(f"dense_matmul_{n}", "direct_mxu", t_direct, t_direct)
-    emit(f"dense_matmul_{n}", "engine", best, t_direct)
+    best = percall(lambda: einsum("ab,bc->ac", [x, y], sr=F32SR)[0])
+    emit(f"dense_matmul_{n}", "direct_mxu_fused", t_direct, t_direct)
+    emit(f"dense_matmul_{n}", "direct_mxu_percall", t_direct_call,
+         t_direct_call)
+    emit(f"dense_matmul_{n}", "engine", best, t_direct_call)
 
     # --- sparse tier ------------------------------------------------------
     a = _rand_csr(n, n, n * nnz_per_row, 1)
@@ -112,15 +127,14 @@ def run(n: int = 1024, nnz_per_row: int = 8, reps: int = 16,
     t_spmm = fused_loop_time(
         lambda bump: spmm_csr_dense(af, d + bump * 1e-30)[0, 0], reps=reps,
         iters=iters)
+    spmm_csr_dense(af, d)  # warm
+    t_spmm_call = percall(lambda: spmm_csr_dense(af, d))
     einsum("ab,bc->ac", [af, d], sr=F32SR)  # warm
-    best_s = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        (out,) = einsum("ab,bc->ac", [af, d], sr=F32SR)
-        jax.block_until_ready(out)
-        best_s = min(best_s, time.perf_counter() - t0)
-    emit(f"spmm_{n}x{nnz_per_row}", "direct_spmm", t_spmm, t_spmm)
-    emit(f"spmm_{n}x{nnz_per_row}", "engine", best_s, t_spmm)
+    best_s = percall(lambda: einsum("ab,bc->ac", [af, d], sr=F32SR)[0])
+    emit(f"spmm_{n}x{nnz_per_row}", "direct_spmm_fused", t_spmm, t_spmm)
+    emit(f"spmm_{n}x{nnz_per_row}", "direct_spmm_percall", t_spmm_call,
+         t_spmm_call)
+    emit(f"spmm_{n}x{nnz_per_row}", "engine", best_s, t_spmm_call)
 
     # --- chain tier -------------------------------------------------------
     c3 = _rand_csr(n, n, n * nnz_per_row, 3)
