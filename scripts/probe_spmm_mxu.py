@@ -41,12 +41,45 @@ def main():
     nnz = int(a.nnz)
     print(f"devices={jax.devices()} n={n} nnz={nnz}", flush=True)
 
-    rng = np.random.default_rng(0)
-    p_np = rng.integers(0, 1 << 20, size=(n, n)).astype(np.float32)
-    p = sp.to_row_planes(jnp.asarray(p_np))
+    # build P ON DEVICE: a host-built (n, n) f32 is a multi-GB device_put
+    # through the remote tunnel (measured: tens of minutes at 30^3)
+    s_planes = sp._round_up(sp._round_up(n, 128) // 128, 8)
+
+    @jax.jit
+    def make_p():
+        key = jax.random.PRNGKey(0)
+        u = jax.random.randint(key, (n, s_planes, 128), 0, 1 << 20,
+                               dtype=jnp.int32)
+        return u.astype(jnp.float32)
+
+    p = make_p()
+    jax.block_until_ready(p)
+    print("# P built on device", flush=True)
 
     rows = ["variant,rpt,g,seconds,ns_per_entry"]
     print(rows[0], flush=True)
+
+    def timed(kernel_call, reps, iters=3):
+        """Fused-loop timing with P as a program ARGUMENT — closing over
+        the 3 GB P captures it as a lowering constant (measured: the
+        lowering itself stalls)."""
+
+        @jax.jit
+        def run(p_arg, bump0):
+            def body(i, acc):
+                p2 = p_arg.at[0, 0, 0].add(
+                    (bump0 + i.astype(jnp.float32)) * 1e-30)
+                return acc + kernel_call(p2)[0, 0, 0]
+
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        float(run(p, jnp.float32(0.0)))  # compile + warm
+        best = float("inf")
+        for it in range(iters):
+            t0 = time.perf_counter()
+            float(run(p, jnp.float32((it + 1) * reps)))
+            best = min(best, time.perf_counter() - t0)
+        return best / reps
 
     # reference result from the VPU kernel
     want = {}
@@ -58,12 +91,9 @@ def main():
         print(f"# vpu rpt={rpt} first-call {time.time()-t0:.1f}s", flush=True)
         want[rpt] = c
 
-        def step(bump):
-            p2 = p.at[0, 0, 0].add(bump * 1e-30)
-            return sp.spmm_pallas(cnt, cols, lrow, vals, p2,
-                                  rows_per_tile=rpt)[0, 0, 0]
-
-        t = fused_loop_time(step, reps=args.reps, iters=3)
+        t = timed(lambda p2: sp.spmm_pallas(cnt, cols, lrow, vals, p2,
+                                            rows_per_tile=rpt),
+                  reps=args.reps)
         line = f"vpu,{rpt},-,{t:.6f},{t / nnz * 1e9:.1f}"
         rows.append(line)
         print(line, flush=True)
@@ -80,12 +110,10 @@ def main():
                       f"{time.time()-t0:.1f}s", flush=True)
                 assert bool(jnp.array_equal(cm, want[rpt])), "MISMATCH"
 
-                def stepm(bump):
-                    p2 = p.at[0, 0, 0].add(bump * 1e-30)
-                    return sp.spmm_pallas_mxu(cntm, colsm, m, p2,
-                                              rows_per_tile=rpt, g=g)[0, 0, 0]
-
-                t = fused_loop_time(stepm, reps=args.reps, iters=3)
+                t = timed(lambda p2, cm_=cntm, co_=colsm, m_=m, g_=g:
+                          sp.spmm_pallas_mxu(cm_, co_, m_, p2,
+                                             rows_per_tile=rpt, g=g_),
+                          reps=args.reps)
                 line = f"mxu,{rpt},{g},{t:.6f},{t / nnz * 1e9:.1f}"
             except Exception as e:
                 line = f"mxu,{rpt},{g},DNF,{type(e).__name__}:{str(e)[:80]}"

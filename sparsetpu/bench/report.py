@@ -217,7 +217,7 @@ def try_plot_spgemm_surface(csv_text: str, out_png: str) -> bool:
         data = {}
         for l in lines:
             case, n, epn, nnz_a, flops, nnz_c, algo, secs, mps = l.split(",")
-            if case != "er":
+            if case != "er" or secs.startswith("DNF"):
                 continue
             data.setdefault((int(n), int(epn)), {})[algo] = float(mps)
         if not data:

@@ -204,6 +204,12 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
     # remote TPU compiler (observed SIGKILL/hangs in rounds 1-2); record
     # those cells as DNF instead of stalling the sweep
     esc_max_cap = 1 << 21
+    # the same compiler stalls (>30-40 min, killed) on the *blocked* sort
+    # paths past ~2.5M products: escb proved 2.45M (A^4, chain_escb_r3),
+    # rowcat stalled at 3.4M (er-3375x32) and escb at 5.8M (A^5).  Guard
+    # every sort-based kernel; denseacc is product-count-independent and
+    # covers the larger cells.
+    sort_max_flops = 2_600_000
 
     for case, n, epn, coo in cases:
         r, c, v, nn = coo
@@ -212,28 +218,45 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
         flops = symbolic_flops_exact(a, a)
         cap = _pow2(flops)
         # agreement first (reference discipline): nnz + leading-row values
-        # against the native C++ oracle, then time
-        want = spgemm_rowcat(a, a).check()
-        nnz_c = int(want.nnz)
+        # against the native C++ oracle, then time.  The oracle is the
+        # ground truth; the rowcat warmup doubles as its device check.
         from .. import native
 
         rp_h, ci_h, v_h = a.to_numpy()
         crp, _, _ = native.spgemm(
             native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h),
             native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h), nn)
-        assert nnz_c == int(crp[-1]), (nnz_c, int(crp[-1]))
+        nnz_c = int(crp[-1])
+        try:
+            if flops > sort_max_flops:
+                raise RuntimeError("DNF_compile")
+            want = spgemm_rowcat(a, a).check()
+            assert int(want.nnz) == nnz_c, (int(want.nnz), nnz_c)
+        except Exception as e:  # prelude failure must not kill the sweep
+            line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
+                    f"rowcat,DNF_error,0.0")
+            rows.append(line)
+            _flush()
+            if verbose:
+                print(line + f"  # prelude {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
         # category mix (the MAGNUS dispatch picture, esp. for power-law)
-        from ..ops.rowcat import THRESHOLDS, plan
+        try:
+            from ..ops.rowcat import THRESHOLDS, plan
 
-        _, _, _, stats = plan(a, a)
-        stats_h = np.asarray(jax.device_get(stats))
-        labels = [f"L{t}" for t in THRESHOLDS] + ["overflow"]
-        mix = " ".join(f"{lb}:{int(rc)}" for lb, (rc, _) in
-                       zip(labels, stats_h) if rc > 0)
-        if verbose:
-            dmax, dmean = datasets.degree_stats(coo)
-            print(f"# catmix {case} n={n} e/n={epn}: {mix} "
-                  f"(deg max={dmax} mean={dmean:.1f})", flush=True)
+            _, _, _, stats = plan(a, a)
+            stats_h = np.asarray(jax.device_get(stats))
+            labels = [f"L{t}" for t in THRESHOLDS] + ["overflow"]
+            mix = " ".join(f"{lb}:{int(rc)}" for lb, (rc, _) in
+                           zip(labels, stats_h) if rc > 0)
+            if verbose:
+                dmax, dmean = datasets.degree_stats(coo)
+                print(f"# catmix {case} n={n} e/n={epn}: {mix} "
+                      f"(deg max={dmax} mean={dmean:.1f})", flush=True)
+        except Exception as e:
+            if verbose:
+                print(f"# catmix {case} n={n} e/n={epn}: unavailable "
+                      f"({type(e).__name__})", flush=True)
         for algo in algos:
             try:
                 if algo == "esc":
@@ -243,6 +266,8 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                     assert int(esc_out.nnz) == nnz_c, (int(esc_out.nnz), nnz_c)
                     t = _time_esc(a, cap, reps, iters)
                 elif algo == "escb":
+                    if flops > sort_max_flops:
+                        raise RuntimeError("DNF_compile")
                     from ..ops.escb import spgemm_blocked
 
                     escb_out = spgemm_blocked(a, a).check()
@@ -256,8 +281,12 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                     assert int(da_out.nnz) == nnz_c, (int(da_out.nnz), nnz_c)
                     t = _time_denseacc(a, nnz_c, reps, iters)
                 elif algo == "rowcat":
+                    if flops > sort_max_flops:
+                        raise RuntimeError("DNF_compile")
                     t = _time_rowcat(a, reps, iters)
                 elif algo == "rowcat_pallas":
+                    if flops > sort_max_flops:
+                        raise RuntimeError("DNF_compile")
                     t = _time_rowcat(a, reps, iters, use_pallas=True)
                 elif algo == "bcoo":
                     tb = _time_bcoo(a, reps, iters)

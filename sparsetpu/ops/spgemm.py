@@ -147,13 +147,17 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
         kernel — measured fastest at every size it compiles at (the
         batched-sort alternative pays more gather passes than the global
         sort costs);
-      - larger expansions: the row-categorized kernel (ops/rowcat.py) —
-        the monolithic ESC program stops *compiling* beyond ~2M-product
-        capacities on the remote TPU compiler, while rowcat's
-        per-category programs stay bounded; overflow (hub) rows fall back
-        to a row-masked ESC internally.
+      - larger expansions: the dense-accumulator path (ops/denseacc.py)
+        when the dense product fits HBM and the semiring/value ranges
+        allow it — its cost is independent of the product count, and every
+        sort-based kernel (ESC, blocked ESC, rowcat) hits remote-compiler
+        stalls past ~2.5M products on this rig (measured: escb 2.45M ok,
+        rowcat 3.4M stalled >30 min, escb 5.8M stalled >40 min);
+      - otherwise the row-categorized kernel (ops/rowcat.py) — bounded
+        per-category programs, the only sort path that sometimes compiles
+        above the monolithic ESC ceiling.
 
-    ``kernel`` forces a path: "esc" | "rowcat" | "auto"."""
+    ``kernel`` forces a path: "esc" | "rowcat" | "denseacc" | "auto"."""
     flops = symbolic_flops_exact(a, b)
     if flops >= 1 << 31:
         raise ValueError(
@@ -161,7 +165,23 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             "(int32 indexing / HBM); split the product or use a dense path"
         )
     if kernel == "auto":
-        kernel = "esc" if flops <= (1 << 21) else "rowcat"
+        if flops <= (1 << 21):
+            kernel = "esc"
+        else:
+            padded_cols = -(-b.n_cols // 1024) * 1024
+            fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
+            kernel = "denseacc" if (
+                fits and a.sr.name == "u64") else "rowcat"
+    if kernel == "denseacc":
+        from .denseacc import spgemm_dense_acc
+
+        try:
+            return spgemm_dense_acc(a, b).check()
+        except ValueError:
+            # value range too wide for the f32 path — sort fallback
+            from .rowcat import spgemm_rowcat
+
+            return spgemm_rowcat(a, b).check()
     if kernel == "rowcat":
         from .rowcat import spgemm_rowcat
 

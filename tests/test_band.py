@@ -90,13 +90,16 @@ class TestBandMatmul:
         a = _dev(coo)
         band, _ = bandmm.csr_band_split(a, half_width=21, block=8, cyclic=True)
         cur_band = band
-        cur_csr = a
+        # numpy int64 oracle — the spgemm_auto comparator chain compiled a
+        # second kernel stack per power
+        ad = a.to_dense_numpy().astype(np.int64)
+        want = ad
         for _ in range(2):  # up to A^3 (band growth 3*24 < half of 64 blocks)
             cur_band = bandmm.band_matmul(cur_band, band)
-            cur_csr = spgemm_auto(cur_csr, a)
+            want = want @ ad
             got = bandmm.band_to_csr(cur_band, sr=U64)
             np.testing.assert_array_equal(
-                got.to_dense_numpy(), cur_csr.to_dense_numpy()
+                got.to_dense_numpy().astype(np.int64), want
             )
 
 

@@ -57,15 +57,18 @@ def test_panel_chain_squaring(mesh8):
     coo = generate.lattice([4, 4, 4], torus=True)
     coo = generate.thin(coo, 0.4, seed=9)
     a = _dev(coo)
-    p_single = spgemm_auto(a, a)          # A^2
-    want = spgemm_auto(p_single, p_single)  # A^4
+    # numpy int64 oracle (exact at this scale) — the two single-device
+    # spgemm_auto calls compiled a second kernel stack just for `want`
+    ad = a.to_dense_numpy().astype(np.int64)
+    want = (ad @ ad) @ (ad @ ad)
 
     s = dist.shard(a, 8, mesh=mesh8)
     sb = dist.shard(a, 8, mesh=mesh8)
     p_sh = panels.spgemm_panels_auto(s, sb, mesh=mesh8)
     c = panels.spgemm_panels_auto(p_sh, p_sh, mesh=mesh8)
     got = dist.unshard(c)
-    np.testing.assert_array_equal(got.to_dense_numpy(), want.to_dense_numpy())
+    np.testing.assert_array_equal(
+        got.to_dense_numpy().astype(np.int64), want)
 
 
 def test_panel_rectangular_padding(mesh8):

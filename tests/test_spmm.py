@@ -18,22 +18,25 @@ def test_spmm_matches_esc():
     coo = generate.lattice([4, 4, 4], torus=True)
     coo = generate.thin(coo, 0.5, seed=1)
     a = _dev(coo)
-    want = spgemm_auto(a, a)
+    # numpy int64 oracle (exact here) instead of compiling the ESC stack
+    ad = a.to_dense_numpy().astype(np.int64)
     cols, vals, lrow, rpc = prepare_spmm_operand(a, n_chunks=4)
     p = tuple_to_f32_dense(a)
     c = spmm_dense(cols, vals, lrow, p, rows_per_chunk=rpc)
     got = dense_to_csr(c, U64)
-    np.testing.assert_array_equal(got.to_dense_numpy(), want.to_dense_numpy())
+    np.testing.assert_array_equal(got.to_dense_numpy().astype(np.int64),
+                                  ad @ ad)
 
 
 def test_spmm_chain_matches_esc():
     coo = generate.lattice([3, 3, 3], torus=True)
     a = _dev(coo)
     results = run_chain_dense(a, max_step=4, iters=1, n_chunks=3, verbose=False)
-    cur = a
+    ad = a.to_dense_numpy().astype(np.int64)
+    cur = ad
     for rec in results:
-        cur = spgemm_auto(cur, a)
-        assert rec.nnz == int(cur.nnz), rec.step
+        cur = cur @ ad
+        assert rec.nnz == int((cur != 0).sum()), rec.step
 
 
 def test_spmm_rejects_huge_values():
