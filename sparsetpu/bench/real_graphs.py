@@ -43,6 +43,12 @@ GRAPHS = [
 
 MAX_EXPANSION = 1 << 28  # ~268M products: past this a chain step is DNF
 MAX_NNZ = 1 << 26        # stop the chain once the power is this dense
+# every SORT-based kernel stalls the remote TPU compiler past ~2.5M
+# products (measured round 3, SPGEMM_APPROACHES.md §4); past it the only
+# runnable path is the dense accumulator, which needs the dense product to
+# fit HBM
+SORT_MAX_FLOPS = 2_600_000
+DENSE_FIT_BYTES = 6e9
 
 
 def load_or_synthesize(name: str, n: int, m: int) -> Tuple[str, tuple]:
@@ -93,7 +99,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     import jax
 
     from ..ops.escb import spgemm_blocked
-    from ..ops.spgemm import symbolic_flops_exact
+    from ..ops.spgemm import spgemm_auto, symbolic_flops_exact
     from .. import native
 
     rows: List[str] = []
@@ -105,20 +111,36 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     base = native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h)
     crp, _, _ = native.spgemm(base, base, n)
 
+    padded_cols = -(-n // 1024) * 1024
+    dense_fits = n * padded_cols * 4 * 2 <= DENSE_FIT_BYTES
+
     prev = a
     for step in range(2, max_power + 1):
         flops = symbolic_flops_exact(prev, a)
-        if flops > MAX_EXPANSION:
-            line = f"{label},{n},{int(a.nnz)},{step},DNF_budget,{flops},0,escb"
+        if flops > MAX_EXPANSION or (
+                flops > SORT_MAX_FLOPS and not dense_fits):
+            # past the sort-kernel compile ceiling with no dense fallback
+            # (the dense product would not fit HBM at this n): the honest
+            # outcome is a DNF row, not a compiler stall
+            kind = ("DNF_budget" if flops > MAX_EXPANSION
+                    else "DNF_sort_ceiling")
+            line = f"{label},{n},{int(a.nnz)},{step},{kind},{flops},0,auto"
             rows.append(line)
             flush()
             if verbose:
                 print(line, flush=True)
             break
+        algo = "escb" if flops <= SORT_MAX_FLOPS else "denseacc"
+
+        def run_once():
+            if algo == "escb":
+                return spgemm_blocked(prev, a)
+            return spgemm_auto(prev, a)  # routes to the dense accumulator
+
         try:
-            c = spgemm_blocked(prev, a).check()
+            c = run_once().check()
         except ValueError as e:
-            line = f"{label},{n},{int(a.nnz)},{step},DNF_{e},{flops},0,escb"
+            line = f"{label},{n},{int(a.nnz)},{step},DNF_{e},{flops},0,{algo}"
             rows.append(line)
             flush()
             if verbose:
@@ -130,11 +152,11 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
         best = float("inf")
         for _ in range(iters):
             t0 = time.perf_counter()
-            out = spgemm_blocked(prev, a)
+            out = run_once()
             jax.block_until_ready(out.nnz)
             best = min(best, time.perf_counter() - t0)
         line = (f"{label},{n},{int(a.nnz)},{step},{int(c.nnz)},{flops},"
-                f"{best:.6f},escb")
+                f"{best:.6f},{algo}")
         rows.append(line)
         flush()
         if verbose:
