@@ -111,14 +111,17 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     base = native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h)
     crp, _, _ = native.spgemm(base, base, n)
 
+    from ..ops.spgemm import dense_acc_panel_cols
+
     padded_cols = -(-n // 1024) * 1024
     dense_fits = n * padded_cols * 4 * 2 <= DENSE_FIT_BYTES
+    panel_w = dense_acc_panel_cols(n, DENSE_FIT_BYTES)
 
     prev = a
     for step in range(2, max_power + 1):
         flops = symbolic_flops_exact(prev, a)
         if flops > MAX_EXPANSION or (
-                flops > SORT_MAX_FLOPS and not dense_fits):
+                flops > SORT_MAX_FLOPS and not dense_fits and not panel_w):
             # past the sort-kernel compile ceiling with no dense fallback
             # (the dense product would not fit HBM at this n): the honest
             # outcome is a DNF row, not a compiler stall
@@ -130,7 +133,8 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
             if verbose:
                 print(line, flush=True)
             break
-        algo = "escb" if flops <= SORT_MAX_FLOPS else "denseacc"
+        algo = ("escb" if flops <= SORT_MAX_FLOPS
+                else "denseacc" if dense_fits else "denseacc_tiled")
 
         def run_once():
             if algo == "escb":

@@ -127,15 +127,16 @@ def _renumber(rep: np.ndarray) -> np.ndarray:
 
 
 def bandwidth_stats(a: SparseCSR) -> Tuple[int, float]:
-    """(max |r-c|, mean |r-c|) over nonzeros (reference :806-818)."""
-    valid = jnp.arange(a.capacity) < a.nnz
-    r = a.row_of_slot()
-    c = jnp.where(valid, a.col_idx, r)
-    d = jnp.abs(r - c)
-    max_bw = jnp.max(jnp.where(valid, d, 0))
-    total = jnp.sum(jnp.where(valid, d, 0))
-    count = jnp.maximum(a.nnz, 1)
-    return int(max_bw), float(total) / float(count)
+    """(max |r-c|, mean |r-c|) over nonzeros (reference :806-818).
+
+    Host int64 arithmetic: a device int32 sum of |r-c| wraps past 2^31
+    (observed as a negative average at nell scale, n=65k / nnz=525k)."""
+    rp, ci, _ = a.to_numpy()
+    if len(ci) == 0:
+        return 0, 0.0
+    r = np.repeat(np.arange(a.n_rows, dtype=np.int64), np.diff(rp))
+    d = np.abs(r - ci.astype(np.int64))
+    return int(d.max()), float(d.mean())
 
 
 def permute(a: SparseCSR, perm: np.ndarray) -> SparseCSR:

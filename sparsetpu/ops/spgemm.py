@@ -137,6 +137,14 @@ def spadd(a: SparseCSR, b: SparseCSR, out_cap: Optional[int] = None) -> SparseCS
     )
 
 
+def dense_acc_panel_cols(n_rows: int, budget_bytes: float = 6e9) -> int:
+    """Widest column panel (multiple of 1024, capped at 8192) such that one
+    B panel + one C panel, (n_rows, w) f32 each, fit the HBM budget.
+    Returns 0 when even a 1024-wide panel does not fit (n > ~730k)."""
+    w = int(budget_bytes // (8 * max(n_rows, 1))) // 1024 * 1024
+    return min(w, 8192)
+
+
 def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
                 kernel: str = "auto") -> SparseCSR:
     """Host-driven SpGEMM: runs the symbolic pass, fetches the exact flop
@@ -170,12 +178,19 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
         else:
             padded_cols = -(-b.n_cols // 1024) * 1024
             fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
-            kernel = "denseacc" if (
-                fits and a.sr.name == "u64") else "rowcat"
-    if kernel == "denseacc":
-        from .denseacc import spgemm_dense_acc
+            if fits and a.sr.name == "u64":
+                kernel = "denseacc"
+            elif a.sr.name == "u64" and dense_acc_panel_cols(a.n_rows):
+                kernel = "denseacc_tiled"
+            else:
+                kernel = "rowcat"
+    if kernel in ("denseacc", "denseacc_tiled"):
+        from .denseacc import spgemm_dense_acc, spgemm_dense_acc_tiled
 
         try:
+            if kernel == "denseacc_tiled":
+                w = dense_acc_panel_cols(a.n_rows)
+                return spgemm_dense_acc_tiled(a, b, panel_cols=w).check()
             return spgemm_dense_acc(a, b).check()
         except ValueError:
             # value range too wide for the f32 path — sort fallback
