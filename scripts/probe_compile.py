@@ -123,6 +123,40 @@ def main() -> None:
         fn = jax.jit(f)
         args = [jax.ShapeDtypeStruct((n,), jnp.int32)] * 2 + [
             jax.ShapeDtypeStruct((n,), jnp.uint32)] * 2
+    elif op == "laxcumsum":
+
+        def f(x):
+            return jax.lax.cumsum(x)
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((n,), jnp.int32)]
+    elif op == "laxcummax":
+
+        def f(x):
+            return jax.lax.cummax(x)
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((n,), jnp.int32)]
+    elif op == "laxcumsum2d":
+        # lane-axis native cumsum + small carry: the blocked_scan shape
+        # with the per-level slice tree replaced by one HLO op per block
+        def f(x):
+            blocks = x.reshape(nb, L)
+            s = jax.lax.cumsum(blocks, axis=1)
+            carry = jnp.concatenate(
+                [jnp.zeros((1,), x.dtype), jax.lax.cumsum(s[:, -1])[:-1]])
+            return (s + carry[:, None]).reshape(-1)
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((nb * L,), jnp.int32)]
+    elif op == "cumsum_L17":
+
+        def f(x):
+            return segments.blocked_scan(jnp.add, x, jnp.int32(0),
+                                         L=1 << 17)
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((n,), jnp.int32)]
     elif op == "escb":
         # compile the real blocked-ESC numeric program at ~n products by
         # building a tiny ER matrix whose A^2 expansion is ~n
@@ -150,8 +184,16 @@ def main() -> None:
     lowered = fn.lower(*args)
     compiled = lowered.compile()
     dt = time.perf_counter() - t0
-    del compiled
-    print(f"{op},{n},{dt:.2f},ok", flush=True)
+    # runtime too: compile-ok is not enough (round 1 rejected the 1-D
+    # associative_scan on runtime grounds as well) — run twice, report 2nd
+    live = [jnp.zeros(a.shape, a.dtype) for a in args]
+    out = compiled(*live)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+    out = compiled(*live)
+    jax.block_until_ready(out)
+    rt = time.perf_counter() - t1
+    print(f"{op},{n},{dt:.2f},ok_run_{rt*1e3:.1f}ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -41,8 +41,11 @@ GRAPHS = [
     ("ogbn_arxiv", 169343, 1166243),
 ]
 
-MAX_EXPANSION = 1 << 28  # ~268M products: past this a chain step is DNF
+MAX_EXPANSION = 1 << 28  # ~268M products: sort-path / algo budget guard
 MAX_NNZ = 1 << 26        # stop the chain once the power is this dense
+# tiled dense-accumulator budget: 2 sweeps x nnz(A) x n_panels DMA issues
+# at ~340 ns each (kernels/spmm_pallas.py) — 600M issues ~ 3.5 min
+MAX_DMA_ISSUES = 600_000_000
 # every SORT-based kernel stalls the remote TPU compiler past ~2.5M
 # products (measured round 3, SPGEMM_APPROACHES.md §4); past it the only
 # runnable path is the dense accumulator, which needs the dense product to
@@ -94,8 +97,14 @@ def structure_report(label: str, coo: tuple, a: SparseCSR,
 def bench_chain(label: str, a: SparseCSR, max_power: int,
                 iters: int = 2, verbose: bool = True,
                 flush_fn=None) -> List[str]:
-    """A^2..A^max_power with per-step escb timings and oracle nnz agreement
-    on the first step (full-chain value agreement is the long test's job)."""
+    """A^2..A^max_power with per-step timings and oracle nnz agreement on
+    the first step (full-chain value agreement is the long test's job).
+
+    Each step computes A x A^(k-1) — NOT A^(k-1) x A: the dense-accumulator
+    paths stream one (S,128) row slab per entry OF THE SPARSE OPERAND per
+    panel, so the sparse side must stay the original A (nnz fixed) while
+    the growing power rides densified.  Round 3 had the orientation
+    backwards, which priced nell A^3 at nnz(A^2)=13.6M DMAs per panel."""
     import jax
 
     from ..ops.escb import spgemm_blocked
@@ -116,35 +125,39 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     padded_cols = -(-n // 1024) * 1024
     dense_fits = n * padded_cols * 4 * 2 <= DENSE_FIT_BYTES
     panel_w = dense_acc_panel_cols(n, DENSE_FIT_BYTES)
+    n_panels = -(-n // panel_w) if panel_w else 0
+    nnz_a = int(a.nnz)
 
     prev = a
     for step in range(2, max_power + 1):
-        flops = symbolic_flops_exact(prev, a)
-        if flops > MAX_EXPANSION or (
-                flops > SORT_MAX_FLOPS and not dense_fits and not panel_w):
-            # past the sort-kernel compile ceiling with no dense fallback
-            # (the dense product would not fit HBM at this n): the honest
-            # outcome is a DNF row, not a compiler stall
-            kind = ("DNF_budget" if flops > MAX_EXPANSION
-                    else "DNF_sort_ceiling")
-            line = f"{label},{n},{int(a.nnz)},{step},{kind},{flops},0,auto"
+        flops = symbolic_flops_exact(a, prev)
+        if flops <= SORT_MAX_FLOPS:
+            algo = "escb"
+        elif dense_fits:
+            algo = "denseacc"
+        elif panel_w and 2 * nnz_a * n_panels <= MAX_DMA_ISSUES:
+            algo = "denseacc_tiled"
+        else:
+            # no compilable path: sort kernels stall the remote compiler
+            # past the ceiling, and the tiled dense accumulator would blow
+            # the DMA-issue budget — an honest DNF row, not a stall
+            kind = ("DNF_sort_ceiling" if not panel_w else "DNF_budget")
+            line = f"{label},{n},{nnz_a},{step},{kind},{flops},0,auto"
             rows.append(line)
             flush()
             if verbose:
                 print(line, flush=True)
             break
-        algo = ("escb" if flops <= SORT_MAX_FLOPS
-                else "denseacc" if dense_fits else "denseacc_tiled")
 
         def run_once():
             if algo == "escb":
-                return spgemm_blocked(prev, a)
-            return spgemm_auto(prev, a)  # routes to the dense accumulator
+                return spgemm_blocked(a, prev)
+            return spgemm_auto(a, prev, kernel=algo)
 
         try:
             c = run_once().check()
         except ValueError as e:
-            line = f"{label},{n},{int(a.nnz)},{step},DNF_{e},{flops},0,{algo}"
+            line = f"{label},{n},{nnz_a},{step},DNF_{e},{flops},0,{algo}"
             rows.append(line)
             flush()
             if verbose:
@@ -159,7 +172,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
             out = run_once()
             jax.block_until_ready(out.nnz)
             best = min(best, time.perf_counter() - t0)
-        line = (f"{label},{n},{int(a.nnz)},{step},{int(c.nnz)},{flops},"
+        line = (f"{label},{n},{nnz_a},{step},{int(c.nnz)},{flops},"
                 f"{best:.6f},{algo}")
         rows.append(line)
         flush()
@@ -171,6 +184,53 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     return rows
 
 
+def bench_algos(label: str, a: SparseCSR, verbose: bool = True) -> List[str]:
+    """Graph-algorithm timings at real-graph scale: reachability-sum and
+    diameter-on-largest-component (reference bench_diameter,
+    src/graph_csr.rs:1226-1319) with the budget-guard discipline.  CSV rows
+    reuse the chain schema with step = algo name."""
+    import jax
+
+    from ..graphs import algos
+    from ..ops.spgemm import symbolic_flops_exact
+
+    rows: List[str] = []
+    n = a.n_rows
+    nnz_a = int(a.nnz)
+
+    # reachability: pattern-stable sum A + A^2 + ... — the closure blows up
+    # on dense-ish graphs, so guard with the A^2 expansion estimate
+    flops2 = symbolic_flops_exact(a, a)
+    if flops2 > MAX_EXPANSION:
+        rows.append(f"{label},{n},{nnz_a},reachability,DNF_budget,"
+                    f"{flops2},0,auto")
+    else:
+        try:
+            t0 = time.perf_counter()
+            total, k = algos.reachability_sum(a)
+            jax.block_until_ready(total.nnz)
+            dt = time.perf_counter() - t0
+            rows.append(f"{label},{n},{nnz_a},reachability,"
+                        f"{int(total.nnz)},{k},{dt:.6f},auto")
+        except (ValueError, RuntimeError) as e:
+            rows.append(
+                f"{label},{n},{nnz_a},reachability,DNF_{type(e).__name__},"
+                f"{flops2},0,auto")
+
+    try:
+        t0 = time.perf_counter()
+        d = algos.diameter(a)
+        dt = time.perf_counter() - t0
+        rows.append(f"{label},{n},{nnz_a},diameter,{d},0,{dt:.6f},auto")
+    except (ValueError, RuntimeError) as e:
+        rows.append(f"{label},{n},{nnz_a},diameter,"
+                    f"DNF_{type(e).__name__},0,0,auto")
+    if verbose:
+        for ln in rows:
+            print(ln, flush=True)
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", nargs="*",
@@ -179,6 +239,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--no-rcm", action="store_true",
                     help="skip the RCM pass (host BFS; minutes at 169k)")
+    ap.add_argument("--algos", action="store_true",
+                    help="also time reachability/diameter per graph")
     ap.add_argument("--out", default="bench_out/real_graphs.csv")
     args = ap.parse_args(argv)
     from . import configure_cache
@@ -204,6 +266,8 @@ def main(argv=None):
 
         all_rows += bench_chain(label, a, args.max_power, iters=args.iters,
                                 flush_fn=_flush)
+        if args.algos:
+            all_rows += bench_algos(label, a)
         with open(args.out, "w") as f:
             f.write("\n".join(all_rows) + "\n")
     print(f"# wrote {args.out}", flush=True)

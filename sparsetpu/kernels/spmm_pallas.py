@@ -68,7 +68,10 @@ def tile_sparse_operand(a, rows_per_tile: int = 8,
         n = _round_up(n, rows_per_tile)
     assert n % rows_per_tile == 0, (n, rows_per_tile)
     row_ptr, col_idx, vals_np = a.to_numpy()
-    if len(vals_np) and float(vals_np.max()) >= float(1 << 24):
+    if (getattr(a, "sr_name", "u64") != "f32" and len(vals_np)
+            and float(vals_np.max()) >= float(1 << 24)):
+        # integer semirings ride an f32 carrier: exact only below 2^24
+        # (the f32 semiring is plain float math — no range restriction)
         raise ValueError("pallas spmm requires values < 2^24")
     rows = np.repeat(np.arange(a.n_rows, dtype=np.int64), np.diff(row_ptr))
     t_count = n // rows_per_tile

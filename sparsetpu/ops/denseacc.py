@@ -51,78 +51,132 @@ def dense_acc_numeric(cnt, cols, lrow, vals, b: SparseCSR,
                       rows_per_tile: int, cap: int, n: int, m: int
                       ) -> SparseCSR:
     """Device half: densify B, DMA-ring SpMM, exactness check, CSR pack."""
-    bd = b.to_dense()
-    bf = bd[0].astype(jnp.float32)
-    if len(bd) > 1:
-        bf = bf + bd[1].astype(jnp.float32) * float(1 << 32)
-    p = sp.to_row_planes(bf)
+    rows = b.row_of_slot()
+    valid = jnp.arange(b.capacity) < b.nnz
+    r = jnp.where(valid, rows, jnp.int32(b.n_rows))
+    c_idx = jnp.where(valid, b.col_idx, 0)
+    bf0 = _values_to_f32(b.values, b.sr_name)
+    bdense = jnp.zeros((b.n_rows, b.n_cols), jnp.float32).at[r, c_idx].set(
+        jnp.where(valid, bf0, 0.0), mode="drop")
+    p = sp.to_row_planes(bdense)
     c = sp.spmm_pallas(cnt, cols, lrow, vals, p,
                        rows_per_tile=rows_per_tile)
     dense = c.reshape(c.shape[0], -1)[:n, :m]
-    exact = jnp.max(dense) < float(1 << 24)
-    lo = dense.astype(jnp.uint32)
-    out = SparseCSR.from_dense_device((lo, jnp.zeros_like(lo)), U64,
-                                      capacity=cap)
+    if b.sr_name == "f32":
+        exact = jnp.asarray(True)
+    else:
+        exact = jnp.max(dense) < float(1 << 24)
+    out = SparseCSR.from_dense_device(_limbs_from_f32(dense, b.sr_name),
+                                      b.sr, capacity=cap)
     nnz = jnp.where(exact & (out.nnz >= 0), out.nnz, -1).astype(jnp.int32)
     import dataclasses
 
     return dataclasses.replace(out, nnz=nnz)
 
 
-@partial(jax.jit, static_argnames=("rows_per_tile", "n", "w"))
-def _panel_numeric(cnt, cols, lrow, vals, b: SparseCSR, lo,
-                   rows_per_tile: int, n: int, w: int):
-    """One column panel of the dense accumulator: densify B's columns
-    [lo, lo+w) by device scatter (no full B_dense ever exists), run the
-    DMA-ring SpMM, return the dense C panel + exactness flag + nnz."""
+def _values_to_f32(values, sr_name: str) -> jnp.ndarray:
+    """Limb tuple -> one f32 carrier array.  For u64 the hi limb rides as
+    hi * 2^32 so any hi != 0 lands >= 2^24 and trips the exactness check."""
+    bf = values[0].astype(jnp.float32)
+    if sr_name == "u64":
+        bf = bf + values[1].astype(jnp.float32) * float(1 << 32)
+    return bf
+
+
+def _limbs_from_f32(x: jnp.ndarray, sr_name: str):
+    """f32 carrier -> limb tuple (exactness pre-checked by the caller)."""
+    if sr_name == "f32":
+        return (x,)
+    lo = x.astype(jnp.uint32)
+    if sr_name == "u32":
+        return (lo,)
+    return (lo, jnp.zeros_like(lo))
+
+
+def _panel_dense(cnt, cols, lrow, vals, b: SparseCSR, lo,
+                 rows_per_tile: int, n: int, w: int):
+    """Shared trace: densify B's columns [lo, lo+w) by device scatter (no
+    full B_dense ever exists), run the DMA-ring SpMM, return the dense C
+    panel + exactness flag (integer semirings: all values < 2^24 so the f32
+    carrier is exact; f32 semiring: always True, accumulation order is the
+    panel's own)."""
     rows = b.row_of_slot()
     valid = (b.col_idx >= lo) & (b.col_idx < lo + w)
     r = jnp.where(valid, rows, jnp.int32(b.n_rows))
     c = jnp.where(valid, b.col_idx - lo, 0)
-    bf = b.values[0].astype(jnp.float32)
-    if len(b.values) > 1:
-        bf = bf + b.values[1].astype(jnp.float32) * float(1 << 32)
+    bf = _values_to_f32(b.values, b.sr_name)
     panel = jnp.zeros((b.n_rows, w), jnp.float32).at[r, c].set(
         jnp.where(valid, bf, 0.0), mode="drop")
     p = sp.to_row_planes(panel)
     cd = sp.spmm_pallas(cnt, cols, lrow, vals, p,
                         rows_per_tile=rows_per_tile)
     dense = cd.reshape(cd.shape[0], -1)[:n, :w]
-    exact = jnp.max(dense) < float(1 << 24)
-    nnzp = jnp.count_nonzero(dense).astype(jnp.int32)
-    return dense, exact, nnzp
+    if b.sr_name == "f32":
+        exact = jnp.asarray(True)
+    else:
+        exact = jnp.max(dense) < float(1 << 24)
+    return dense, exact
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _pack_panel(dense, cap: int) -> SparseCSR:
-    lo = dense.astype(jnp.uint32)
-    return SparseCSR.from_dense_device((lo, jnp.zeros_like(lo)), U64,
-                                       capacity=cap)
+@partial(jax.jit, static_argnames=("rows_per_tile", "n", "w"))
+def _panel_counts(cnt, cols, lrow, vals, b: SparseCSR, lo,
+                  rows_per_tile: int, n: int, w: int):
+    """Sweep-1 program: per-row output nnz of one panel + exactness flag."""
+    dense, exact = _panel_dense(cnt, cols, lrow, vals, b, lo,
+                                rows_per_tile, n, w)
+    counts = jnp.sum((dense != 0).astype(jnp.int32), axis=1)
+    return counts, exact
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _merge_panel(dst_col, dst_lo, dst_hi, base_off, final_row_ptr,
-                 csr_p: SparseCSR, col_off):
-    """Scatter one panel's CSR entries into the final arrays.  Panels have
-    disjoint, increasing column ranges, so the final (row, col) order is
-    reconstructed with per-row offsets — NO global sort (stays under the
-    measured sort-kernel compile ceiling, SPGEMM_APPROACHES.md §4).
-    Slot rows come from row_of_slot (scatter+cummax), not searchsorted —
-    capacity-many binary-search queries cost log2 random-gather passes."""
-    n = csr_p.n_rows
-    cap_p = csr_p.capacity
-    slots = jnp.arange(cap_p, dtype=jnp.int32)
-    r = csr_p.row_of_slot()
-    valid = slots < csr_p.nnz
-    r_safe = jnp.clip(r, 0, n - 1)
-    local = slots - csr_p.row_ptr[r_safe]
-    dest = final_row_ptr[r_safe] + base_off[r_safe] + local
-    dest = jnp.where(valid, dest, jnp.int32(dst_col.shape[0]))
-    dst_col = dst_col.at[dest].set(csr_p.col_idx + col_off, mode="drop")
-    dst_lo = dst_lo.at[dest].set(csr_p.values[0], mode="drop")
-    dst_hi = dst_hi.at[dest].set(csr_p.values[1], mode="drop")
-    base_off = base_off + jnp.diff(csr_p.row_ptr)
-    return dst_col, dst_lo, dst_hi, base_off
+@partial(jax.jit, donate_argnums=(7, 8, 9),
+         static_argnames=("rows_per_tile", "n", "w", "cap_p"))
+def _panel_pack_merge(cnt, cols, lrow, vals, b: SparseCSR, lo,
+                      final_row_ptr, prior, dst_col, dst_limbs,
+                      rows_per_tile: int, n: int, w: int, cap_p: int):
+    """Sweep-2 program: recompute one dense panel, pack its nonzeros with a
+    batched LANE SORT (1-1.8 G elem/s measured — the flat-nonzero scatter
+    this replaces ran at ~100 M elem/s over n*w elements), then scatter the
+    cap_p-sized packed stream into the final arrays.
+
+    Panels have disjoint increasing column ranges, so final (row, col)
+    order is per-row offsets (final_row_ptr + prior) — NO global sort
+    (stays under the measured sort-kernel compile ceiling,
+    SPGEMM_APPROACHES.md §4).  All static shapes are panel-uniform so every
+    program here compiles exactly once per product (the round-3 version
+    recompiled per panel at each distinct pow2 capacity — the dominant cost
+    of its measured 127 s nell A^2 run)."""
+    from .segments import INT32_SENTINEL
+    from . import segments
+
+    dense, exact = _panel_dense(cnt, cols, lrow, vals, b, lo,
+                                rows_per_tile, n, w)
+    mask = dense != 0
+    # stable lane compaction: nonzeros keep ascending column order
+    key = jnp.where(mask, jnp.arange(w, dtype=jnp.int32)[None, :],
+                    INT32_SENTINEL)
+    key_s, val_s = jax.lax.sort([key, dense], dimension=1, num_keys=1,
+                                is_stable=False)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    rp = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+    # gather the packed entries out of the sorted panel
+    s = jnp.arange(cap_p, dtype=jnp.int32)
+    r = segments.repeat_index(rp[:-1], jnp.arange(n, dtype=jnp.int32), cap_p)
+    rs = jnp.clip(r, 0, n - 1)
+    kk = jnp.clip(s - rp[rs], 0, w - 1)
+    valid = (r >= 0) & (s < rp[-1])
+    col_l = key_s[rs, kk]
+    val = val_s[rs, kk]
+    # scatter into the final arrays at per-row offsets
+    cap = dst_col.shape[0]
+    dest = jnp.where(valid, final_row_ptr[rs] + prior[rs] + (s - rp[rs]),
+                     jnp.int32(cap))
+    dst_col = dst_col.at[dest].set(col_l + lo, mode="drop")
+    limbs = _limbs_from_f32(val, b.sr_name)
+    dst_limbs = tuple(d.at[dest].set(l, mode="drop")
+                      for d, l in zip(dst_limbs, limbs))
+    prior = prior + counts
+    return dst_col, dst_limbs, prior, exact
 
 
 def spgemm_dense_acc_tiled(a: SparseCSR, b: SparseCSR,
@@ -132,63 +186,78 @@ def spgemm_dense_acc_tiled(a: SparseCSR, b: SparseCSR,
 
     The untiled path (spgemm_dense_acc) needs B_dense + C_dense = 2 (n, m)
     f32 arrays in HBM — dead at n >= ~28k.  This variant keeps only one
-    (n, panel_cols) B panel + C panel live at a time: cost = n_panels x
-    nnz(A) row-slab DMAs + one pack per panel + a sort-free scatter merge,
-    unlocking real-graph scale (nell 65k / ogbn_arxiv 169k, BASELINE
-    configs 3-4) where every sort-based kernel exceeds the compile ceiling
-    AND the dense product exceeds HBM.  Reference analog: the per-row
-    dense-scratch Gustavson loop (src/graph_csr.rs:306-346) whose scratch
-    is a column slice of the output row."""
+    (n, panel_cols) B panel + C panel live at a time, unlocking real-graph
+    scale (nell 65k / ogbn_arxiv 169k, BASELINE configs 3-4) where every
+    sort-based kernel exceeds the compile ceiling AND the dense product
+    exceeds HBM.  Reference analog: the per-row dense-scratch Gustavson
+    loop (src/graph_csr.rs:306-346) whose scratch is a column slice of the
+    output row.
+
+    Two sweeps over the panels (the reference's symbolic/numeric split,
+    src/graph_csr.rs:350-484): sweep 1 runs the Pallas SpMM per panel and
+    keeps only per-row counts — these size ONE uniform static capacity and
+    the exact final row_ptr; sweep 2 recomputes each panel and pack-merges
+    it in place.  The extra numeric sweep costs ~nnz(A) DMA issues per
+    panel (~340 ns each); panel-uniform static shapes buy single-compile
+    programs, which the round-3 profile showed dominate at ~7 s per
+    recompile on the remote TPU compiler.
+
+    Semirings: u64/u32 exact while every output value < 2^24 (checked on
+    device per panel; violations poison nnz to -1).  f32 runs the plain
+    float semiring; within-row accumulation order is the panel's DMA order,
+    so results may differ from sort-merge kernels by f32 rounding."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
-    assert a.sr.name == "u64" == b.sr.name, (a.sr.name, b.sr.name)
+    assert a.sr_name == b.sr_name, (a.sr_name, b.sr_name)
     assert panel_cols % 1024 == 0, panel_cols
     n, m = a.n_rows, b.n_cols
     cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
         a, rows_per_tile=rows_per_tile, n_cols_p=panel_cols, pad_rows=True)
+    rpt = meta["rows_per_tile"]
     n_panels = -(-m // panel_cols)
-    panels = []
-    all_exact = True
+
+    # sweep 1: per-panel per-row counts (one program, one end sync)
+    counts_dev = []
+    exact_dev = []
     for pi in range(n_panels):
-        dense, exact, nnzp = _panel_numeric(
-            cnt, cols, lrow, vals, b, jnp.int32(pi * panel_cols),
-            meta["rows_per_tile"], n, panel_cols)
-        all_exact = all_exact and bool(exact)
-        cap_p = _pow2(max(int(nnzp), 1))
-        csr_p = _pack_panel(dense, cap_p)
-        panels.append((csr_p, pi * panel_cols))
-    counts = panels[0][0].row_ptr
-    counts = jnp.diff(counts)
-    for csr_p, _ in panels[1:]:
-        counts = counts + jnp.diff(csr_p.row_ptr)
-    final_row_ptr = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
-    total = sum(int(csr_p.nnz) for csr_p, _ in panels)
-    poisoned = (not all_exact) or any(
-        int(csr_p.nnz) < 0 for csr_p, _ in panels)
+        cts, ex = _panel_counts(cnt, cols, lrow, vals, b,
+                                jnp.int32(pi * panel_cols), rpt, n,
+                                panel_cols)
+        counts_dev.append(cts)
+        exact_dev.append(ex)
+    counts_all = np.asarray(jax.device_get(jnp.stack(counts_dev)))
+    all_exact = bool(jax.device_get(jnp.stack(exact_dev).all()))
+    nnzp = counts_all.sum(axis=1)
+    total = int(nnzp.sum())
     cap = _pow2(max(total, 1))
+    cap_p = _pow2(max(int(nnzp.max(initial=1)), 1))
+    row_totals = counts_all.sum(axis=0).astype(np.int64)
+    final_row_ptr = jnp.asarray(
+        np.concatenate([[0], np.cumsum(row_totals)]).astype(np.int32))
+
+    # sweep 2: recompute + pack + merge, single compile across panels
     from .segments import INT32_SENTINEL
 
     dst_col = jnp.full((cap,), INT32_SENTINEL, jnp.int32)
-    dst_lo = jnp.zeros((cap,), jnp.uint32)
-    dst_hi = jnp.zeros((cap,), jnp.uint32)
-    base_off = jnp.zeros((n,), jnp.int32)
-    for csr_p, col_off in panels:
-        dst_col, dst_lo, dst_hi, base_off = _merge_panel(
-            dst_col, dst_lo, dst_hi, base_off, final_row_ptr,
-            csr_p, jnp.int32(col_off))
-    nnz = jnp.asarray(-1 if poisoned else total, jnp.int32)
+    dst_limbs = a.sr.zeros((cap,))
+    prior = jnp.zeros((n,), jnp.int32)
+    for pi in range(n_panels):
+        dst_col, dst_limbs, prior, _ = _panel_pack_merge(
+            cnt, cols, lrow, vals, b, jnp.int32(pi * panel_cols),
+            final_row_ptr, prior, dst_col, dst_limbs,
+            rpt, n, panel_cols, cap_p)
+    nnz = jnp.asarray(total if all_exact else -1, jnp.int32)
     return SparseCSR(row_ptr=final_row_ptr, col_idx=dst_col,
-                     values=(dst_lo, dst_hi), nnz=nnz,
-                     n_rows=n, n_cols=m, sr_name=a.sr.name)
+                     values=dst_limbs, nnz=nnz,
+                     n_rows=n, n_cols=m, sr_name=a.sr_name)
 
 
 def spgemm_dense_acc(a: SparseCSR, b: SparseCSR,
                      out_cap: Optional[int] = None,
                      rows_per_tile: int = 8) -> SparseCSR:
-    """C = A x B (u64 semiring, values < 2^24) through the dense
-    accumulator.  One host prep of A + one fused device dispatch."""
+    """C = A x B through the dense accumulator (u64/u32 exact below 2^24,
+    f32 plain float).  One host prep of A + one fused device dispatch."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
-    assert a.sr.name == "u64" == b.sr.name, (a.sr.name, b.sr.name)
+    assert a.sr_name == b.sr_name, (a.sr_name, b.sr_name)
     cnt, cols, lrow, vals, meta = plan_dense_acc(
         a, b.n_cols, rows_per_tile=rows_per_tile)
     if out_cap is None:

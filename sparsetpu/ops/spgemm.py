@@ -167,23 +167,30 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
 
     ``kernel`` forces a path: "esc" | "rowcat" | "denseacc" | "auto"."""
     flops = symbolic_flops_exact(a, b)
-    if flops >= 1 << 31:
-        raise ValueError(
-            f"spgemm expansion of {flops} products cannot be materialized "
-            "(int32 indexing / HBM); split the product or use a dense path"
-        )
     if kernel == "auto":
         if flops <= (1 << 21):
             kernel = "esc"
         else:
+            # dense-accumulator routes cover every semiring: u64/u32 ride
+            # an f32 carrier (exact below 2^24, checked on device), f32 is
+            # plain float math (round-3's u64-only guard was an oversight —
+            # the f32 case needs no limb recombination at all)
             padded_cols = -(-b.n_cols // 1024) * 1024
             fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
-            if fits and a.sr.name == "u64":
+            if fits:
                 kernel = "denseacc"
-            elif a.sr.name == "u64" and dense_acc_panel_cols(a.n_rows):
+            elif dense_acc_panel_cols(a.n_rows):
                 kernel = "denseacc_tiled"
             else:
                 kernel = "rowcat"
+    if flops >= 1 << 31 and kernel in ("esc", "rowcat"):
+        # only the sort paths materialize the expansion; dense-accumulator
+        # cost is independent of the product count (its own capacity guard
+        # is the true output nnz, sized from measured per-panel counts)
+        raise ValueError(
+            f"spgemm expansion of {flops} products cannot be materialized "
+            "(int32 indexing / HBM); split the product or use a dense path"
+        )
     if kernel in ("denseacc", "denseacc_tiled"):
         from .denseacc import spgemm_dense_acc, spgemm_dense_acc_tiled
 

@@ -81,3 +81,53 @@ def test_dense_acc_tiled_pair_rectangular_panels():
         out.to_dense_numpy().astype(np.int64),
         (_scipy_csr(ca) @ _scipy_csr(cb)).toarray(),
     )
+
+
+def test_dense_acc_u32_semiring():
+    from sparsetpu.semiring import U32
+
+    coo = random_graph(100, 700, seed=11)
+    r, c, v, n = coo
+    a = SparseCSR.from_coo_host(r, c, v, n, sr=U32)
+    out = spgemm_dense_acc(a, a).check()
+    sc = _scipy_csr(coo) @ _scipy_csr(coo)
+    assert int(out.nnz) == sc.nnz
+    assert np.array_equal(out.to_dense_numpy().astype(np.int64), sc.toarray())
+
+
+def test_dense_acc_f32_semiring():
+    from sparsetpu.semiring import F32SR
+
+    coo = random_graph(100, 700, seed=12)
+    r, c, v, n = coo
+    vf = (v % 7 + 1).astype(np.float32) * 0.5
+    a = SparseCSR.from_coo_host(r, c, vf, n, sr=F32SR)
+    out = spgemm_dense_acc(a, a).check()
+    sa = ss.coo_matrix((vf.astype(np.float64), (r, c)), shape=(n, n)).tocsr()
+    sc = sa @ sa
+    assert int(out.nnz) == sc.nnz
+    # f32 accumulation order differs from scipy f64: allclose, not equal
+    np.testing.assert_allclose(
+        out.to_dense_numpy(), sc.toarray(), rtol=1e-5, atol=1e-6)
+
+
+def test_dense_acc_tiled_u32_f32():
+    from sparsetpu.ops.denseacc import spgemm_dense_acc_tiled
+    from sparsetpu.semiring import F32SR, U32
+
+    coo = random_graph(1500, 6000, seed=13)
+    r, c, v, n = coo
+    a32 = SparseCSR.from_coo_host(r, c, v, n, sr=U32)
+    out = spgemm_dense_acc_tiled(a32, a32, panel_cols=1024).check()
+    sc = _scipy_csr(coo) @ _scipy_csr(coo)
+    assert int(out.nnz) == sc.nnz
+    assert np.array_equal(out.to_dense_numpy().astype(np.int64), sc.toarray())
+
+    vf = (v % 5 + 1).astype(np.float32)
+    af = SparseCSR.from_coo_host(r, c, vf, n, sr=F32SR)
+    outf = spgemm_dense_acc_tiled(af, af, panel_cols=1024).check()
+    sf = ss.coo_matrix((vf.astype(np.float64), (r, c)), shape=(n, n)).tocsr()
+    scf = sf @ sf
+    assert int(outf.nnz) == scf.nnz
+    np.testing.assert_allclose(
+        outf.to_dense_numpy(), scf.toarray(), rtol=1e-5, atol=1e-6)
