@@ -149,6 +149,27 @@ def main() -> None:
 
         fn = jax.jit(f)
         args = [jax.ShapeDtypeStruct((nb * L,), jnp.int32)]
+    elif op == "cumsum_noslice":
+        # blocked_scan minus the final flatten+slice
+        def f(x):
+            blocks = x.reshape(nb, L)
+            s = jax.lax.associative_scan(jnp.add, blocks, axis=1)
+            carry = jax.lax.associative_scan(jnp.add, s[:, -1])
+            c0 = jnp.concatenate([jnp.zeros((1,), x.dtype), carry[:-1]])
+            return s + c0[:, None]
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((nb * L,), jnp.int32)]
+    elif op == "cumsum_nocarry":
+        # pad+reshape+lane scan+flatten+slice, NO carry combine
+        def f(x):
+            pad = nb * L - n
+            xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+            s = jax.lax.associative_scan(jnp.add, xp.reshape(nb, L), axis=1)
+            return s.reshape(nb * L)[:n]
+
+        fn = jax.jit(f)
+        args = [jax.ShapeDtypeStruct((n,), jnp.int32)]
     elif op == "cumsum_L17":
 
         def f(x):

@@ -14,9 +14,18 @@ for n in 2.6e6 5.2e6 2.1e7 1.08e8; do
     echo "$line" | tee -a $OUT
   done
 done
-# where exactly does blocked_scan's ceiling sit + does a bigger L move it
+# bisect blocked_scan's wrapper: which op trips the backend
+for n in 5.2e6; do
+  for op in cumsum_noslice cumsum_nocarry cumsum_L17; do
+    line=$(timeout 240 python scripts/probe_compile.py $op $n 2>/dev/null | tail -1)
+    rc=$?
+    if [ $rc -ne 0 ] || [ -z "$line" ]; then line="$op,$n,-1,timeout_or_err_rc$rc"; fi
+    echo "$line" | tee -a $OUT
+  done
+done
+# where exactly does blocked_scan's ceiling sit
 for n in 3.2e6 4.2e6; do
-  for op in cumsum cumsum_L17; do
+  for op in cumsum; do
     line=$(timeout 240 python scripts/probe_compile.py $op $n 2>/dev/null | tail -1)
     rc=$?
     if [ $rc -ne 0 ] || [ -z "$line" ]; then line="$op,$n,-1,timeout_or_err_rc$rc"; fi
