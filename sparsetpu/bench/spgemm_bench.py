@@ -180,7 +180,8 @@ def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
 def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
         power_law_sides=(27000,), algos=("esc", "escb", "rowcat"),
         reps: int = 16, iters: int = 2, verbose: bool = True,
-        out_path: str = None) -> str:
+        out_path: str = None, sort_max_flops: int = None,
+        esc_max_cap: int = None) -> str:
     rows: List[str] = ["case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,"
                        "mproducts_per_s"]
 
@@ -200,16 +201,13 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
     for n in power_law_sides:
         cases.append(("powerlaw", n, 8, datasets.power_law(n, 8, seed=17)))
 
-    # caps above ~2M make the monolithic ESC program un-compilable on the
-    # remote TPU compiler (observed SIGKILL/hangs in rounds 1-2); record
-    # those cells as DNF instead of stalling the sweep
-    esc_max_cap = 1 << 21
-    # the same compiler stalls (>30-40 min, killed) on the *blocked* sort
-    # paths past ~2.5M products: escb proved 2.45M (A^4, chain_escb_r3),
-    # rowcat stalled at 3.4M (er-3375x32) and escb at 5.8M (A^5).  Guard
-    # every sort-based kernel; denseacc is product-count-independent and
-    # covers the larger cells.
-    sort_max_flops = 2_600_000
+    # rounds 1-3 measured a hard sort-path compile ceiling (~2.5M products)
+    # and guarded every sort kernel with these; round 4 root-caused it to
+    # the associative-scan formulation and replaced it with native
+    # cumulative ops (ops/segments.py), so the defaults are now far above
+    # any cell in the grid.  The flags remain to reproduce old runs.
+    esc_max_cap = esc_max_cap or (1 << 28)
+    sort_max_flops = sort_max_flops or (1 << 28)
 
     for case, n, epn, coo in cases:
         r, c, v, nn = coo

@@ -153,7 +153,8 @@ def _numeric(a: SparseCSR, b: SparseCSR, pack2row: jnp.ndarray,
     # --- lane-axis segmented merge (duplicates adjacent within a block)
     prev = jnp.pad(key_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
     head = key_s != prev
-    totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
+    totals, exact_ok = segments.segment_reduce_sorted(sr, head, limbs_s,
+                                                      axis=1)
     tail = jnp.concatenate(
         [head[:, 1:], jnp.ones((nb, 1), bool)], axis=1
     )
@@ -173,7 +174,10 @@ def _numeric(a: SparseCSR, b: SparseCSR, pack2row: jnp.ndarray,
                        constant_values=-1)
     row_head = rowf.reshape(nb, L) != prev_row
     e_at_head = jnp.where(row_head, excl.reshape(nb, L), -1)
-    e_head = jax.lax.associative_scan(jnp.maximum, e_at_head, axis=1)
+    # native cummax, not associative_scan: the latter composed with the
+    # surrounding reshapes is the measured TPU-backend compile stall
+    # (reports/probe_compile_r4*.csv)
+    e_head = jax.lax.cummax(e_at_head, axis=1)
     rank = excl - e_head.reshape(npad)
 
     # per-row survivor counts: scatter-add keep by row
@@ -193,7 +197,7 @@ def _numeric(a: SparseCSR, b: SparseCSR, pack2row: jnp.ndarray,
     filled = src_of_dest < npad
     col_idx = jnp.where(filled, keyf[sod] % jnp.int32(m), INT32_SENTINEL)
     vals = tuple(jnp.where(filled, x[sod], 0) for x in totf)
-    nnz_out = jnp.where(nnz <= out_cap, nnz, -1).astype(jnp.int32)
+    nnz_out = jnp.where((nnz <= out_cap) & exact_ok, nnz, -1).astype(jnp.int32)
     return SparseCSR(
         row_ptr=row_ptr, col_idx=col_idx, values=vals, nnz=nnz_out,
         n_rows=n, n_cols=m, sr_name=sr.name,

@@ -148,7 +148,9 @@ def numeric_cat(a: SparseCSR, b: SparseCSR, rows: jnp.ndarray, fr: jnp.ndarray,
         # scan (log2(L) combine passes; rows are independent by layout)
         prev = jnp.pad(cols_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
         head = cols_s != prev
-        totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
+        totals, exact_ok = segments.segment_reduce_sorted(sr, head, limbs_s,
+                                                          axis=1)
+        stream_ok = stream_ok & exact_ok
         tail = jnp.concatenate(
             [head[:, 1:], jnp.ones((head.shape[0], 1), bool)], axis=1
         )

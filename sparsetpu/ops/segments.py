@@ -31,16 +31,26 @@ from ..semiring import Semiring, Value
 # multi-host processes (dist/multihost.py) — np.int32 interoperates with
 # every jnp op identically
 INT32_SENTINEL = np.int32(0x7FFFFFFF)
+_U32_MAX = np.uint32(0xFFFFFFFF)
 
 
 # lane width for two-level scans: a 1-D associative_scan's XLA compile time
 # grows superlinearly with array length (measured on the TPU compiler:
 # 14.8 s at 2^18, 141.8 s at 2^20, unusable by ~2^21 — scripts/probe_sort.py,
 # reports/probe_sort.csv) because the log2(n) slice/update tree is laid out
-# per level.  Scanning (nb, L) blocks along the lane axis + a tiny cross-
-# block carry scan bounds the compiled program by L while staying one
-# fused program — this is what lifted the ESC "~2M-product compile
-# ceiling" (VERDICT r2 weak #7).
+# per level.
+#
+# ROUND-4 ROOT CAUSE (scripts/r4_probe_compile*.sh -> reports/
+# probe_compile_r4*.csv): the two-level blocked_scan did NOT fix this — it
+# was itself the framework-wide "~2.5M-product sort-path compile ceiling".
+# Bisection shows a bare lane-axis associative_scan on (nb, L) compiles in
+# seconds at 5.2M elements, but composing it with the surrounding
+# pad/reshape/flatten/slice (with or without the carry) stalls the TPU
+# backend >240 s; the native cumulative HLO ops (lax.cumsum / lax.cummax)
+# compile in seconds and run flat up to the 108M elements probed.  All hot
+# primitives therefore use native cumulative ops now; blocked_scan remains
+# only for the f32 segmented scan (order-sensitive float fold, no native
+# reformulation) and is documented as compile-bounded to ~4M elements.
 BLOCKED_SCAN_L = 1 << 15
 
 
@@ -80,8 +90,23 @@ def blocked_scan(combine, elems, identity, L: int = BLOCKED_SCAN_L):
 
 
 def cumsum_blocked(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum with compile-bounded two-level scan."""
-    return blocked_scan(jnp.add, x, x.dtype.type(0))
+    """Inclusive 1-D cumsum via the native ``lax.cumsum`` HLO op.
+
+    History: this was a two-level ``blocked_scan`` because 1-D
+    ``associative_scan`` compile time grows superlinearly (141.8 s at
+    2^20).  Round 4's bisection (scripts/r4_probe_compile*.sh ->
+    reports/probe_compile_r4.csv) found blocked_scan ITSELF stalls the TPU
+    backend past ~4M elements — it was the framework-wide ~2.5M-product
+    "sort-path compile ceiling" — while the native cumulative-op HLO
+    compiles in seconds and runs flat up to the 108M elements probed.
+    """
+    return jax.lax.cumsum(x)
+
+
+def cummax_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 1-D running max via the native ``lax.cummax`` HLO op
+    (same compile-ceiling story as :func:`cumsum_blocked`)."""
+    return jax.lax.cummax(x)
 
 
 def repeat_index(starts: jnp.ndarray, values: jnp.ndarray, length: int,
@@ -94,12 +119,12 @@ def repeat_index(starts: jnp.ndarray, values: jnp.ndarray, length: int,
     *random-gather passes over the whole stream* — measured ~100 M
     gathers/s on TPU, which made the binary search the hidden bottleneck of
     the ESC expansion.  This version is one small scatter (len(starts)) +
-    one cummax scan (~1.4 G elem/s measured): out-of-range starts are
+    one native cummax (~1.4 G elem/s measured): out-of-range starts are
     dropped, positions before the first start carry ``fill``.
     """
     marks = jnp.full((length,), fill, values.dtype)
     marks = marks.at[starts].max(values, mode="drop")
-    return blocked_scan(jnp.maximum, marks, values.dtype.type(fill))
+    return jax.lax.cummax(marks)
 
 
 def sort_by_keys(keys: Sequence[jnp.ndarray], payloads: Sequence[jnp.ndarray]):
@@ -124,18 +149,90 @@ def segment_heads(keys: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return head
 
 
+def _recombine_sat16(sr: Semiring, planes) -> Value:
+    """16-bit plane sums (each uint32 < 2^32) -> saturated limb tuple.
+
+    Plane k carries the segment sum of the inputs' bits [16k, 16k+16);
+    ripple the inter-plane carries in 16-bit steps (each partial < 2^17,
+    no wrap) and saturate on overflow past the semiring width — exactly
+    the fold-of-saturating-adds result, since for non-negative values
+    that fold equals min(true sum, MAX)."""
+    m16 = jnp.uint32(0xFFFF)
+    if sr.name == "u32":
+        p0, p1 = planes
+        t1 = (p0 >> 16) + (p1 & m16)
+        over = ((p1 >> 16) + (t1 >> 16)) > 0
+        lo = (t1 << 16) | (p0 & m16)
+        return (jnp.where(over, _U32_MAX, lo),)
+    p0, p1, p2, p3 = planes
+    t1 = (p0 >> 16) + (p1 & m16)
+    t2 = (p1 >> 16) + (p2 & m16) + (t1 >> 16)
+    t3 = (p2 >> 16) + (p3 & m16) + (t2 >> 16)
+    over = ((p3 >> 16) + (t3 >> 16)) > 0
+    lo = (t1 << 16) | (p0 & m16)
+    hi = (t3 << 16) | (t2 & m16)
+    return (jnp.where(over, _U32_MAX, lo), jnp.where(over, _U32_MAX, hi))
+
+
+def _segment_running_native(sr: Semiring, heads: jnp.ndarray, values: Value,
+                            axis: int):
+    """Segmented saturating running totals from NATIVE cumulative ops only.
+
+    The associative-scan formulation stalls the TPU backend past ~4M
+    elements whenever reshapes surround the scan (see BLOCKED_SCAN_L note);
+    native lax.cumsum/cummax compile in seconds at 108M.  Saturating
+    unsigned fold == min(true sum, MAX), so exact true sums suffice:
+    split each uint32 limb into 16-bit planes, take MODULAR uint32 plane
+    cumsums (wrap cancels in the start-base subtraction while each
+    segment's true plane sum < 2^32), subtract the plane cumsum at the
+    segment start (propagated by one native cummax + one gather), and
+    ripple-recombine with saturation.
+
+    Exact while every segment's RUNNING count of NONZERO elements stays
+    < 2^16 (a 16-bit plane of 2^16 max-valued elements wraps uint32; zero
+    elements — e.g. a padded sentinel tail, which forms one giant segment —
+    cannot wrap anything).  Returns (totals, exact_ok); the caller must
+    poison its output when exact_ok is False — the framework's
+    loud-failure discipline."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, heads.shape, axis)
+    s = jax.lax.cummax(jnp.where(heads, idx, -1), axis=axis)
+    s = jnp.clip(s, 0, None)
+
+    def seg_running(p):
+        c = jax.lax.cumsum(p, axis=axis)
+        ce = c - p
+        base = (ce[s] if axis == 0 and heads.ndim == 1
+                else jnp.take_along_axis(ce, s, axis=axis))
+        return c - base
+
+    nonzero = values[0] != 0
+    for limb in values[1:]:
+        nonzero = nonzero | (limb != 0)
+    run_nz = seg_running(nonzero.astype(jnp.uint32))
+    exact_ok = jnp.all(run_nz < 0xFFFF)
+    planes = []
+    for limb in values:
+        planes.append(limb & jnp.uint32(0xFFFF))
+        planes.append(limb >> 16)
+    return _recombine_sat16(sr, [seg_running(p) for p in planes]), exact_ok
+
+
 def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value,
-                          axis: int = 0) -> Value:
-    """Segmented inclusive scan-totals: position i holds the running segment sum.
+                          axis: int = 0):
+    """Segmented inclusive scan-totals: position i holds the running segment
+    sum.  Returns ``(totals, exact_ok)``; the *segment total* lives at each
+    segment's last element.
 
-    The *segment total* lives at each segment's last element.  Combine op:
+    Integer semirings ride the native-op plane formulation
+    (:func:`_segment_running_native`) — compile-bounded at any size probed.
+    f32 keeps the associative-scan fold (a float segmented sum has no
+    order-preserving native reformulation; diff-of-cumsum would lose
+    precision to the global running sum), combine op:
       (v1, h1) . (v2, h2) = (v2 if h2 else v1 (+) v2,  h1 | h2)
-    which is associative because saturating unsigned add is associative.
-
-    ``axis`` selects the scan axis: row-padded 2-D layouts scan along the
-    lane axis (log2(L) combine passes instead of log2(R*L) — the scan's
-    cost is dominated by its fixed per-pass overhead, not element count).
-    """
+    which is associative; its compile ceiling (~4M elements 1-D) stands
+    for f32 only."""
+    if sr.name != "f32":
+        return _segment_running_native(sr, heads, values, axis)
 
     def combine(a, b):
         va, ha = a[:-1], a[-1]
@@ -150,7 +247,7 @@ def segment_reduce_sorted(sr: Semiring, heads: jnp.ndarray, values: Value,
         out = blocked_scan(combine, init, identity)
     else:
         out = jax.lax.associative_scan(combine, init, axis=axis)
-    return out[:-1]
+    return out[:-1], jnp.asarray(True)
 
 
 def compact(keep: jnp.ndarray, arrays: Sequence[jnp.ndarray], fill_values, out_size: int):
@@ -198,7 +295,7 @@ def reduce_sorted_coo(
     compacts to the front.  Returns (out_keys, out_values, nnz).
     """
     heads = segment_heads(keys)
-    totals = segment_reduce_sorted(sr, heads, values)
+    totals, exact_ok = segment_reduce_sorted(sr, heads, values)
     n = keys[0].shape[0]
     tail = jnp.concatenate([heads[1:], jnp.ones((1,), bool)])
     keep = tail & valid
@@ -208,4 +305,7 @@ def reduce_sorted_coo(
     fills = list(key_fills) + [jnp.zeros((), sr.dtype)] * len(totals)
     outs, count = compact(keep, arrays, fills, out_size)
     nk = len(keys)
+    # a segment longer than the plane-exactness bound poisons the count:
+    # callers propagate it into nnz = -1 (loud failure via .check())
+    count = jnp.where(exact_ok, count, -1)
     return outs[:nk], tuple(outs[nk:]), count

@@ -20,7 +20,7 @@ def _xla_reference(cols, limbs, sr):
     cols_s, limbs_s = out[0], tuple(out[1:])
     prev = jnp.pad(cols_s[:, :-1], ((0, 0), (1, 0)), constant_values=-1)
     head = cols_s != prev
-    totals = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
+    totals, _ = segments.segment_reduce_sorted(sr, head, limbs_s, axis=1)
     tail = jnp.concatenate(
         [head[:, 1:], jnp.ones((head.shape[0], 1), bool)], axis=1)
     keep = tail & (cols_s != INT32_SENTINEL) & ~sr.is_zero(totals)
