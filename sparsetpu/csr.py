@@ -153,11 +153,16 @@ class SparseCSR:
     ) -> "SparseCSR":
         """Device-side COO->CSR: sort by (row, col), merge duplicates with
         saturating add, drop explicit zeros (reference from_coo,
-        src/graph_csr.rs:85-129).  jit-friendly; all shapes static."""
+        src/graph_csr.rs:85-129).  jit-friendly; all shapes static.
+
+        ``values`` may carry FEWER limbs than the semiring (the narrow u64
+        fast path, ops/spgemm.expand_products): the merge reconstructs the
+        missing hi limb from plane carries, so outputs are always full."""
         m = rows.shape[0]
         if valid is None:
             valid = jnp.ones((m,), bool)
-        v = sr.where(valid, values, sr.zeros((m,)))
+        v = tuple(jnp.where(valid, l, jnp.zeros((), l.dtype))
+                  for l in values)
         slot = jnp.arange(capacity, dtype=jnp.int32)
         if (n_rows + 1) * n_cols < 2**31:
             # fused (row * n_cols + col) int32 key: single-key sort

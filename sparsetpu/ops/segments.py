@@ -164,6 +164,14 @@ def _recombine_sat16(sr: Semiring, planes) -> Value:
         over = ((p1 >> 16) + (t1 >> 16)) > 0
         lo = (t1 << 16) | (p0 & m16)
         return (jnp.where(over, _U32_MAX, lo),)
+    if len(planes) == 2:
+        # narrow u64: values rode one u32 limb; the carries past bit 32
+        # ARE the hi limb (t2 < 2^17 — can never reach u64 saturation)
+        p0, p1 = planes
+        t1 = (p0 >> 16) + (p1 & m16)
+        t2 = (p1 >> 16) + (t1 >> 16)
+        lo = (t1 << 16) | (p0 & m16)
+        return (lo, t2)
     p0, p1, p2, p3 = planes
     t1 = (p0 >> 16) + (p1 & m16)
     t2 = (p1 >> 16) + (p2 & m16) + (t1 >> 16)
@@ -293,19 +301,65 @@ def reduce_sorted_coo(
     merges duplicate keys with saturating add, optionally drops zero totals
     (reference from_coo filters zeros, src/graph_csr.rs:106-118), and
     compacts to the front.  Returns (out_keys, out_values, nnz).
+
+    Integer semirings take the pass-minimal route: segment totals are
+    ADJACENT DIFFS of native plane cumsums evaluated at the compacted tail
+    positions — dropped (all-zero) segments contribute nothing to any
+    cumsum, so diffs across them stay exact.  Versus running the full
+    segmented scan and compacting its totals, this trades the scan's
+    full-stream base gathers for out_size-sized ones (out <= stream
+    always); random gathers at ~10 ns/element are the stream's budget
+    currency (SPGEMM_APPROACHES.md §1).  f32 keeps the scan fold.
     """
     heads = segment_heads(keys)
-    totals, exact_ok = segment_reduce_sorted(sr, heads, values)
     n = keys[0].shape[0]
     tail = jnp.concatenate([heads[1:], jnp.ones((1,), bool)])
-    keep = tail & valid
+    if sr.name == "f32":
+        totals, exact_ok = segment_reduce_sorted(sr, heads, values)
+        keep = tail & valid
+        if drop_zeros:
+            keep = keep & ~sr.is_zero(totals)
+        arrays = list(keys) + list(totals)
+        fills = list(key_fills) + [jnp.zeros((), sr.dtype)] * len(totals)
+        outs, count = compact(keep, arrays, fills, out_size)
+        nk = len(keys)
+        count = jnp.where(exact_ok, count, -1)
+        return outs[:nk], tuple(outs[nk:]), count
+
+    nonzero = values[0] != 0
+    for limb in values[1:]:
+        nonzero = nonzero | (limb != 0)
+    nonzero = nonzero & valid
+    planes = [nonzero.astype(jnp.uint32)]
+    for limb in values:
+        v = jnp.where(valid, limb, 0)
+        planes.append(v & jnp.uint32(0xFFFF))
+        planes.append(v >> 16)
+    cums = [jax.lax.cumsum(p) for p in planes]
     if drop_zeros:
-        keep = keep & ~sr.is_zero(totals)
-    arrays = list(keys) + list(totals)
-    fills = list(key_fills) + [jnp.zeros((), sr.dtype)] * len(totals)
+        # a segment survives iff it has a nonzero element: running nonzero
+        # count > 0 at its tail (cummax-propagated segment base)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        s = jnp.clip(jax.lax.cummax(jnp.where(heads, idx, -1)), 0, None)
+        run_nz = cums[0] - (cums[0] - planes[0])[s]
+        keep = tail & valid & (run_nz > 0)
+    else:
+        keep = tail & valid
+    arrays = list(keys) + cums
+    fills = list(key_fills) + [jnp.uint32(0)] * len(cums)
     outs, count = compact(keep, arrays, fills, out_size)
     nk = len(keys)
-    # a segment longer than the plane-exactness bound poisons the count:
-    # callers propagate it into nnz = -1 (loud failure via .check())
+    # adjacent diffs of the compacted inclusive cumsums = segment sums
+    # (position 0 diffs against zero; compact's fill keeps the tail inert)
+    def _diff(c):
+        return c - jnp.concatenate([jnp.zeros((1,), c.dtype), c[:-1]])
+
+    in_range = jnp.arange(out_size, dtype=jnp.int32) < count
+    nz_seg = jnp.where(in_range, _diff(outs[nk]), 0)
+    sums = [jnp.where(in_range, _diff(c), 0) for c in outs[nk + 1:]]
+    totals = _recombine_sat16(sr, sums)
+    # plane exactness: every segment's nonzero count under 2^16 (see
+    # _segment_running_native); poison the count past it
+    exact_ok = jnp.all(nz_seg < 0xFFFF)
     count = jnp.where(exact_ok, count, -1)
-    return outs[:nk], tuple(outs[nk:]), count
+    return outs[:nk], totals, count

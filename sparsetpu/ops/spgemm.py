@@ -68,14 +68,49 @@ def symbolic_flops_exact(a: SparseCSR, b: SparseCSR) -> int:
     return int(parts.astype(np.int64).sum())
 
 
-def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
+@jax.jit
+def _max_limbs(a: SparseCSR):
+    valid = jnp.arange(a.capacity) < a.nnz
+    return tuple(jnp.max(jnp.where(valid, l, 0)) for l in a.values)
+
+
+def max_value(a: SparseCSR) -> int:
+    """Host-side max stored value (one tiny sync); 0 for empty/f32-skip."""
+    if a.sr_name == "f32":
+        return 0
+    limbs = [int(x) for x in jax.device_get(_max_limbs(a))]
+    out = 0
+    for k, l in enumerate(limbs):
+        out |= l << (32 * k)
+    return out
+
+
+def narrow_u64_ok(a: SparseCSR, b: SparseCSR) -> bool:
+    """True when every partial product provably fits u32 — the single-limb
+    ESC fast path (two fewer full-stream gathers, one fewer sort payload,
+    half the merge planes).  The chain/sweep workloads all qualify: path
+    counts stay far below 2^16."""
+    if a.sr_name != "u64" or b.sr_name != "u64":
+        return False
+    ma, mb = max_value(a), max_value(b)
+    return ma < (1 << 32) and mb < (1 << 32) and ma * mb < (1 << 32)
+
+
+def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int,
+                    narrow: bool = False):
     """Materialize partial-product streams (i, j, v, valid) of size expand_cap.
 
     The entry covering each expansion slot comes from the scatter+cummax
     repeat primitive (segments.repeat_index) rather than a binary search:
     searchsorted with expand_cap consecutive queries costs log2 random-
     gather passes over the whole stream — the measured bottleneck of the
-    round-1 expansion (~100 M gathers/s per pass on TPU)."""
+    round-1 expansion (~100 M gathers/s per pass on TPU).
+
+    ``narrow`` (u64 only; caller must have verified max(A) * max(B) < 2^32
+    and hi limbs all zero): carry the product stream as ONE u32 limb —
+    drops two full-stream hi-limb gathers here and one sort payload + two
+    merge planes downstream; reduce_sorted_coo reconstructs the u64 hi
+    limb from the plane carries."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
     sr = a.sr
     valid_a = jnp.arange(a.capacity) < a.nnz
@@ -98,19 +133,34 @@ def expand_products(a: SparseCSR, b: SparseCSR, expand_cap: int):
     shift = b.row_ptr[a_cols] - (cum - counts)
     b_pos = jnp.clip(t + shift[src], 0, b.capacity - 1)
 
-    i = jnp.where(valid_e, a_rows[src], a.n_rows)
+    # output row per slot: a second scatter+cummax over the same entry
+    # starts (a_rows is monotone over entries, so the cummax propagates the
+    # covering row) — one native scan instead of a full random gather
+    i = segments.repeat_index(starts, jnp.clip(a_rows, 0, a.n_rows),
+                              expand_cap)
+    i = jnp.where(valid_e & (i >= 0), i, a.n_rows)
     j = jnp.where(valid_e, b.col_idx[b_pos], INT32_SENTINEL)
-    v = sr.mul(sr.gather(a.values, src), sr.gather(b.values, b_pos))
-    v = sr.where(valid_e, v, sr.zeros((expand_cap,)))
+    if narrow:
+        assert sr.name == "u64", sr.name
+        prod = a.values[0][src] * b.values[0][b_pos]  # < 2^32, exact
+        v = (jnp.where(valid_e, prod, 0),)
+    else:
+        v = sr.mul(sr.gather(a.values, src), sr.gather(b.values, b_pos))
+        v = sr.where(valid_e, v, sr.zeros((expand_cap,)))
     return i, j, v, valid_e, total
 
 
-@partial(jax.jit, static_argnames=("expand_cap", "out_cap"))
-def spgemm(a: SparseCSR, b: SparseCSR, expand_cap: int, out_cap: Optional[int] = None) -> SparseCSR:
+@partial(jax.jit, static_argnames=("expand_cap", "out_cap", "narrow"))
+def spgemm(a: SparseCSR, b: SparseCSR, expand_cap: int,
+           out_cap: Optional[int] = None,
+           narrow: bool = False) -> SparseCSR:
     """C = A x B on the matrix semiring. ``expand_cap`` must be >= flops(A,B)
-    (see :func:`symbolic_flops`); ``out_cap`` defaults to ``expand_cap``."""
+    (see :func:`symbolic_flops`); ``out_cap`` defaults to ``expand_cap``.
+    ``narrow``: see :func:`expand_products` (u64 with provably-small
+    values rides one limb; outputs are full u64)."""
     out_cap = out_cap or expand_cap
-    i, j, v, valid_e, total = expand_products(a, b, expand_cap)
+    i, j, v, valid_e, total = expand_products(a, b, expand_cap,
+                                              narrow=narrow)
     c = SparseCSR.from_coo_device(
         i, j, v, a.n_rows, b.n_cols, a.sr, out_cap, valid=valid_e
     )
@@ -211,4 +261,4 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
     cap = max(flops, 1)
     if round_to_pow2:
         cap = 1 << (cap - 1).bit_length()
-    return spgemm(a, b, expand_cap=cap).check()
+    return spgemm(a, b, expand_cap=cap, narrow=narrow_u64_ok(a, b)).check()

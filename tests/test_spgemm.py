@@ -207,3 +207,37 @@ def test_symbolic_flops_exact_matches_device():
     rows, cols, vals, n = coo
     a = SparseCSR.from_coo(rows, cols, vals, n, sr=U64)
     assert symbolic_flops_exact(a, a) == int(symbolic_flops(a, a))
+
+
+def test_spgemm_narrow_matches_wide():
+    """Single-limb narrow ESC must agree bit-exactly with the 2-limb path,
+    including hi-limb reconstruction from plane carries."""
+    from sparsetpu.ops.spgemm import narrow_u64_ok, spgemm
+
+    rng = np.random.default_rng(21)
+    n = 300
+    r = rng.integers(0, n, 4000)
+    c = rng.integers(0, n, 4000)
+    v = rng.integers(1, 60000, 4000).astype(np.uint64)  # products < 2^32
+    a = SparseCSR.from_coo_host(r, c, v, n)
+    assert narrow_u64_ok(a, a)
+    cap = 1 << 22
+    wide = spgemm(a, a, expand_cap=cap).check()
+    nar = spgemm(a, a, expand_cap=cap, narrow=True).check()
+    assert int(wide.nnz) == int(nar.nnz)
+    rw, cw, vw = wide.to_numpy()
+    rn, cn, vn = nar.to_numpy()
+    assert np.array_equal(rw, rn) and np.array_equal(cw, cn)
+    assert np.array_equal(vw, vn)
+    # hi limbs really exercised: some totals exceed 2^32
+    assert int(vw.max()) > (1 << 32)
+
+
+def test_narrow_u64_ok_rejects_wide_values():
+    from sparsetpu.ops.spgemm import narrow_u64_ok
+
+    r = np.array([0, 1])
+    c = np.array([1, 0])
+    v = np.array([1 << 40, 3], np.uint64)
+    a = SparseCSR.from_coo_host(r, c, v, 2)
+    assert not narrow_u64_ok(a, a)
