@@ -91,14 +91,21 @@ def pack_rows(fr: np.ndarray, L: int) -> Tuple[np.ndarray, np.ndarray, int]:
     return pack2row, starts_pad, nb
 
 
-@partial(jax.jit, static_argnames=("L", "nb", "out_cap", "cap_g"))
+@partial(jax.jit, static_argnames=("L", "nb", "out_cap", "cap_g", "narrow"))
 def _numeric(a: SparseCSR, b: SparseCSR, pack2row: jnp.ndarray,
              starts_pad: jnp.ndarray, fr: jnp.ndarray,
-             L: int, nb: int, out_cap: int, cap_g: int) -> SparseCSR:
+             L: int, nb: int, out_cap: int, cap_g: int,
+             narrow: bool = False) -> SparseCSR:
     """Device half: expand into (nb, L), batched sort, lane merge, assemble.
 
     Output rows not covered by ``pack2row`` (the wide-row path of
-    :func:`spgemm_blocked`) get nnz 0 here; the caller merges."""
+    :func:`spgemm_blocked`) get nnz 0 here; the caller merges.
+
+    ``narrow`` (u64, caller-verified max(A)*max(B) < 2^32): the product
+    stream rides ONE u32 limb — two fewer full-stream value gathers, one
+    fewer sort payload, half the lane-merge planes; the hi limb is
+    reconstructed exactly from plane carries (segments._recombine_sat16,
+    ops/spgemm.expand_products has the same mode)."""
     sr = a.sr
     n, m = a.n_rows, b.n_cols
     cap_a = a.capacity
@@ -140,8 +147,13 @@ def _numeric(a: SparseCSR, b: SparseCSR, pack2row: jnp.ndarray,
 
     j = b.col_idx[b_pos]
     key = jnp.where(ok, r * jnp.int32(m) + j, INT32_SENTINEL)
-    v = sr.mul(sr.gather(a.values, e), sr.gather(b.values, b_pos))
-    v = sr.where(ok, v, sr.zeros((npad,)))
+    if narrow:
+        assert sr.name == "u64", sr.name
+        prod = a.values[0][e] * b.values[0][b_pos]  # < 2^32, exact
+        v = (jnp.where(ok, prod, 0),)
+    else:
+        v = sr.mul(sr.gather(a.values, e), sr.gather(b.values, b_pos))
+        v = sr.where(ok, v, sr.zeros((npad,)))
 
     # --- batched sort along lanes (rows never straddle blocks)
     key2 = key.reshape(nb, L)
@@ -211,6 +223,9 @@ def spgemm_blocked(a: SparseCSR, b: SparseCSR,
     fr fetch + the bin packing; then one fused numeric dispatch (two when
     wide rows force a second lane width)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    from .spgemm import narrow_u64_ok
+
+    narrow = narrow_u64_ok(a, b)
     fr_dev = row_flops(a, b)
     fr = np.asarray(jax.device_get(fr_dev)).astype(np.int64)
     total = int(fr.sum())
@@ -241,6 +256,7 @@ def spgemm_blocked(a: SparseCSR, b: SparseCSR,
         return _numeric(
             a, b, jnp.asarray(pack2row), jnp.asarray(st),
             jnp.asarray(fr.astype(np.int32)), lane, nb, cap, cap_g,
+            narrow=narrow,
         )
 
     narrow_res = run(~wide, L)

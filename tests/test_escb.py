@@ -91,3 +91,26 @@ def test_merge_disjoint_rows():
     m = merge_disjoint_rows(c1, c2, out_cap=8).check()
     want = _to_map([0, 0, 2, 1, 5], [1, 3, 2, 0, 5], [7, 8, 9, 3, 4])
     _check_equal(m, want, n)
+
+
+def test_escb_narrow_matches_wide():
+    """escb's single-limb narrow mode agrees bit-exactly with the wide
+    path, including hi limbs reconstructed from lane-merge plane carries."""
+    from sparsetpu.ops.escb import _numeric, pack_rows, row_flops, \
+        spgemm_blocked
+
+    rng = np.random.default_rng(31)
+    n = 250
+    r = rng.integers(0, n, 3000)
+    c = rng.integers(0, n, 3000)
+    v = rng.integers(1, 60000, 3000).astype(np.uint64)
+    a = SparseCSR.from_coo_host(r, c, v, n)
+    got = spgemm_blocked(a, a).check()  # auto-detects narrow
+    import scipy.sparse as ss
+
+    sa = ss.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    sa.sum_duplicates()
+    ref = (sa.astype(object) @ sa.astype(object)).toarray()
+    got_d = got.to_dense_numpy().astype(object)
+    assert (got_d == ref).all()
+    assert int(got_d.max()) > (1 << 32)  # hi limbs genuinely exercised
