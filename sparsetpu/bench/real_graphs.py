@@ -231,6 +231,72 @@ def bench_algos(label: str, a: SparseCSR, verbose: bool = True) -> List[str]:
     return rows
 
 
+def bench_band_hybrid(label: str, a: SparseCSR, iters: int = 2,
+                      verbose: bool = True) -> List[str]:
+    """General graph through RCM + band/outlier hybrid, end-to-end (the
+    README's general-graph band story, previously never demonstrated on a
+    real-scale graph): RCM-reorder, split at the 90th-percentile |r-c|
+    band, run C = A x A through the MXU band kernel + column-gather +
+    ESC-outlier paths, verify value agreement against spgemm_auto, then
+    time both.  CSV rows reuse the chain schema (step = hybrid@halfwidth /
+    esc_comparator)."""
+    import jax
+
+    from ..graphs import algos
+    from ..ops import hybrid
+    from ..ops.spgemm import spgemm_auto, symbolic_flops_exact
+
+    rows: List[str] = []
+    n = a.n_rows
+    t0 = time.perf_counter()
+    a_rcm, _ = algos.rcm(a)
+    t_rcm = time.perf_counter() - t0
+    rp, ci, _ = a_rcm.to_numpy()
+    rr = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+    dist = np.abs(rr - ci.astype(np.int64))
+    hw = int(-(-int(np.percentile(dist, 90)) // 128) * 128) or 128
+    h = hybrid.hybrid_from_csr(a_rcm, hw, block=128)
+    band_frac = int(h.band.nnz()) / max(int(a_rcm.nnz), 1)
+    flops = symbolic_flops_exact(a_rcm, a_rcm)
+    if verbose:
+        print(f"# [{label}] RCM {t_rcm*1e3:.0f} ms; half_width={hw} "
+              f"band covers {band_frac:.1%} of nnz "
+              f"(outliers {int(h.outliers.nnz)})", flush=True)
+
+    def run_hybrid():
+        c = hybrid.hybrid_matmul(h, h, a_csr=a_rcm)
+        return c.to_csr(a_rcm.sr)
+
+    try:
+        got = run_hybrid().check()
+        ref = spgemm_auto(a_rcm, a_rcm).check()
+        assert int(got.nnz) == int(ref.nnz), (int(got.nnz), int(ref.nnz))
+        gr, gc, gv = got.to_numpy()
+        rr2, rc2, rv = ref.to_numpy()
+        assert np.array_equal(gr, rr2) and np.array_equal(gc, rc2)
+        assert np.array_equal(gv, rv), "value mismatch band-hybrid vs esc"
+    except (ValueError, OverflowError, AssertionError) as e:
+        rows.append(f"{label},{n},{int(a.nnz)},hybrid@{hw},"
+                    f"DNF_{type(e).__name__},{flops},0,band+esc")
+        if verbose:
+            print(rows[-1] + f"  # {e}", flush=True)
+        return rows
+    for name, fn, out in (("hybrid@%d" % hw, run_hybrid, got),
+                          ("esc_comparator", lambda: spgemm_auto(
+                              a_rcm, a_rcm), ref)):
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            c = fn()
+            jax.block_until_ready(c.nnz)
+            best = min(best, time.perf_counter() - t0)
+        rows.append(f"{label},{n},{int(a.nnz)},{name},{int(out.nnz)},"
+                    f"{flops},{best:.6f},band+esc")
+        if verbose:
+            print(rows[-1], flush=True)
+    return rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--graphs", nargs="*",
@@ -241,6 +307,8 @@ def main(argv=None):
                     help="skip the RCM pass (host BFS; minutes at 169k)")
     ap.add_argument("--algos", action="store_true",
                     help="also time reachability/diameter per graph")
+    ap.add_argument("--band-hybrid", action="store_true",
+                    help="also run the RCM + band/outlier hybrid A^2")
     ap.add_argument("--out", default="bench_out/real_graphs.csv")
     args = ap.parse_args(argv)
     from . import configure_cache
@@ -268,6 +336,8 @@ def main(argv=None):
                                 flush_fn=_flush)
         if args.algos:
             all_rows += bench_algos(label, a)
+        if args.band_hybrid:
+            all_rows += bench_band_hybrid(label, a, iters=args.iters)
         with open(args.out, "w") as f:
             f.write("\n".join(all_rows) + "\n")
     print(f"# wrote {args.out}", flush=True)
