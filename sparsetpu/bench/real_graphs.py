@@ -46,11 +46,12 @@ MAX_NNZ = 1 << 26        # stop the chain once the power is this dense
 # tiled dense-accumulator budget: 2 sweeps x nnz(A) x n_panels DMA issues
 # at ~340 ns each (kernels/spmm_pallas.py) — 600M issues ~ 3.5 min
 MAX_DMA_ISSUES = 600_000_000
-# every SORT-based kernel stalls the remote TPU compiler past ~2.5M
-# products (measured round 3, SPGEMM_APPROACHES.md §4); past it the only
-# runnable path is the dense accumulator, which needs the dense product to
-# fit HBM
-SORT_MAX_FLOPS = 2_600_000
+# sort-path routing bound.  Round 4 removed the ~2.5M-product compile
+# ceiling (SPGEMM_APPROACHES.md §4b; escb validated on hardware at 21M
+# products, reports/probe_escb_r4.csv); the bound now reflects memory —
+# the blocked-ESC expansion materializes ~10 stream-sized arrays, so past
+# ~32M products the dense-accumulator path is the safer route
+SORT_MAX_FLOPS = 32_000_000
 DENSE_FIT_BYTES = 6e9
 
 

@@ -134,10 +134,10 @@ def sweep_config(cfg, iters: int = 2, n_density_steps: int = 17,
         # adaptive reps: low-density steps run tiny ESC programs, so fuse
         # more of them per dispatch — the floor scales as sync_cost / reps
         step_reps = int(min(1024, max(reps, (1 << 24) // max(cap, 1))))
-        # caps beyond ~4M hang/SIGKILL the remote compiler on the
-        # monolithic ESC program (round-1: one 8.4M-cap compile ran >50
-        # min before being killed) — skip esc, keep sweeping for sdd
-        if flops > max_flops or cap > (1 << 22):
+        # round 4 removed the sort-path compile ceiling (SPGEMM_APPROACHES
+        # §4b); the cap guard is now a memory/runtime budget, not a
+        # compiler one — skip esc past it, keep sweeping for sdd
+        if flops > max_flops or cap > (1 << 24):
             # the sort-based path cannot materialize this expansion on one
             # chip; keep sweeping — the block-sparse SDD row below is
             # compute-bounded by the dense shape and runs to density 1.0

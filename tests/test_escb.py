@@ -108,9 +108,10 @@ def test_escb_narrow_matches_wide():
     got = spgemm_blocked(a, a).check()  # auto-detects narrow
     import scipy.sparse as ss
 
-    sa = ss.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    # u64 scipy matmul is exact here: totals stay far below 2^63
+    sa = ss.coo_matrix((v.astype(np.int64), (r, c)), shape=(n, n)).tocsr()
     sa.sum_duplicates()
-    ref = (sa.astype(object) @ sa.astype(object)).toarray()
-    got_d = got.to_dense_numpy().astype(object)
-    assert (got_d == ref).all()
+    ref = (sa @ sa).toarray().astype(np.uint64)
+    got_d = got.to_dense_numpy().astype(np.uint64)
+    assert np.array_equal(got_d, ref)
     assert int(got_d.max()) > (1 << 32)  # hi limbs genuinely exercised
