@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
 
 def tile_sparse_operand(a, rows_per_tile: int = 8,
                         n_cols_p: Optional[int] = None,
-                        pad_rows: bool = False):
+                        pad_rows: bool = False, nbuf: int = NBUF):
     """Host-side prep of the static sparse operand A for the Pallas kernel.
 
     Returns (cnt i32[T], cols i32[T,1,E], lrow i32[T,1,E], vals f32[T,1,E],
@@ -82,11 +82,11 @@ def tile_sparse_operand(a, rows_per_tile: int = 8,
     # do no arithmetic beyond the SMEM loads
     s_planes = _round_up(
         _round_up(n_cols_p or a.n_cols, 128) // 128, 8)
-    # per-tile counts padded to a nonzero multiple of NBUF: the kernel's
+    # per-tile counts padded to a nonzero multiple of nbuf: the kernel's
     # pipeline is branch-free, so padded entries (col/lrow offset 0, val 0)
     # really run — a DMA of P row 0 and a zero FMA
-    cnt_pad = np.maximum(-(-counts // NBUF) * NBUF, NBUF)
-    e_max = _round_up(max(int(cnt_pad.max(initial=NBUF)), NBUF), 8)
+    cnt_pad = np.maximum(-(-counts // nbuf) * nbuf, nbuf)
+    e_max = _round_up(max(int(cnt_pad.max(initial=nbuf)), nbuf), 8)
     cols = np.zeros((t_count, 1, e_max), np.int32)
     lrow = np.zeros((t_count, 1, e_max), np.int32)
     vals = np.zeros((t_count, 1, e_max), np.float32)
@@ -106,8 +106,8 @@ def tile_sparse_operand(a, rows_per_tile: int = 8,
     )
 
 
-def _spmm_kernel(s_planes, cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm,
-                 out_ref, row_buf, sem):
+def _spmm_kernel(s_planes, nbuf, cnt_ref, cols_ref, lrow_ref, vals_ref,
+                 p_hbm, out_ref, row_buf, sem):
     """One output-row tile: stream referenced P row planes, FMA into it.
 
     Both P and the output tile are flat (rows*S, 128): a row is an aligned
@@ -122,7 +122,7 @@ def _spmm_kernel(s_planes, cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm,
     # of row 0 and a zero FMA — so the hot loop has NO branches, NO rem:
     # a branch-free software pipeline of NBUF-entry groups where group g's
     # waits retire exactly the starts issued by group g-1.
-    groups = cnt_ref[i] // NBUF
+    groups = cnt_ref[i] // nbuf
     out_ref[:] = jnp.zeros_like(out_ref)
 
     def dma(slot, e):
@@ -137,29 +137,30 @@ def _spmm_kernel(s_planes, cnt_ref, cols_ref, lrow_ref, vals_ref, p_hbm,
         dst = pl.multiple_of(lrow_ref[0, 0, e], 8)  # pre-scaled by S
         out_ref[pl.ds(dst, s_planes), :] += vals_ref[0, 0, e] * row_buf[slot]
 
-    # prologue: fill all NBUF slots
-    for s in range(NBUF):
+    # prologue: fill all nbuf slots
+    for s in range(nbuf):
         dma(s, s).start()
 
     def body(g, _):
-        base = g * NBUF
-        for s in range(NBUF):  # unrolled: static slots
+        base = g * nbuf
+        for s in range(nbuf):  # unrolled: static slots
             dma(s, base + s).wait()
             fma(s, base + s)
-            dma(s, base + NBUF + s).start()
+            dma(s, base + nbuf + s).start()
         return 0
 
     jax.lax.fori_loop(0, groups - 1, body, 0)
 
     # epilogue: drain the last group (no further starts)
-    last = (groups - 1) * NBUF
-    for s in range(NBUF):
+    last = (groups - 1) * nbuf
+    for s in range(nbuf):
         dma(s, last + s).wait()
         fma(s, last + s)
 
 
-@partial(jax.jit, static_argnames=("rows_per_tile",))
-def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8):
+@partial(jax.jit, static_argnames=("rows_per_tile", "nbuf"))
+def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8,
+                nbuf: int = NBUF):
     """C = A x P with A pre-tiled (tile_sparse_operand) and P dense f32 in
     row-plane layout (n, S, 128).  Returns C as (n, S, 128) — directly
     usable as the next chain step's P."""
@@ -185,12 +186,12 @@ def spmm_pallas(cnt, cols, lrow, vals, p, rows_per_tile: int = 8):
             (rows_per_tile * s_planes, lane), lambda i, *_: (i, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, s_planes, lane), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((nbuf, s_planes, lane), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
-        partial(_spmm_kernel, s_planes),
+        partial(_spmm_kernel, s_planes, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n * s_planes, lane), jnp.float32),
         cost_estimate=pl.CostEstimate(
