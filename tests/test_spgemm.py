@@ -218,7 +218,16 @@ def test_spgemm_narrow_matches_wide():
     n = 300
     r = rng.integers(0, n, 4000)
     c = rng.integers(0, n, 4000)
-    v = rng.integers(1, 60000, 4000).astype(np.uint64)  # products < 2^32
+    # duplicates merge by saturating ADD at build time, so stored values
+    # can exceed the draw cap — keep max(A)^2 safely < 2^32, and plant a
+    # dense row/column pair whose product C[0,5] sums past 2^32
+    v = rng.integers(1, 1000, 4000).astype(np.uint64)
+    ks = np.arange(n, dtype=np.int64)
+    r = np.concatenate([r, np.zeros(n, np.int64), ks])
+    c = np.concatenate([c, ks, np.full(n, 5, np.int64)])
+    # 30000 keeps the worst merged value (the doubled (0,5) cell plus
+    # random-duplicate spill) around 63k, so max(A)^2 stays under 2^32
+    v = np.concatenate([v, np.full(2 * n, 30000, np.uint64)])
     a = SparseCSR.from_coo_host(r, c, v, n)
     assert narrow_u64_ok(a, a)
     cap = 1 << 22
