@@ -157,8 +157,9 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
 
         try:
             c = run_once().check()
-        except ValueError as e:
-            line = f"{label},{n},{nnz_a},{step},DNF_{e},{flops},0,{algo}"
+        except (ValueError, RuntimeError) as e:
+            line = (f"{label},{n},{nnz_a},{step},DNF_{type(e).__name__},"
+                    f"{flops},0,{algo}")
             rows.append(line)
             flush()
             if verbose:
@@ -276,7 +277,7 @@ def bench_band_hybrid(label: str, a: SparseCSR, iters: int = 2,
         rr2, rc2, rv = ref.to_numpy()
         assert np.array_equal(gr, rr2) and np.array_equal(gc, rc2)
         assert np.array_equal(gv, rv), "value mismatch band-hybrid vs esc"
-    except (ValueError, OverflowError, AssertionError) as e:
+    except (ValueError, OverflowError, AssertionError, RuntimeError) as e:
         rows.append(f"{label},{n},{int(a.nnz)},hybrid@{hw},"
                     f"DNF_{type(e).__name__},{flops},0,band+esc")
         if verbose:

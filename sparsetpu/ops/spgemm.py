@@ -188,10 +188,13 @@ def spadd(a: SparseCSR, b: SparseCSR, out_cap: Optional[int] = None) -> SparseCS
 
 
 def dense_acc_panel_cols(n_rows: int, budget_bytes: float = 6e9) -> int:
-    """Widest column panel (multiple of 1024, capped at 8192) such that one
-    B panel + one C panel, (n_rows, w) f32 each, fit the HBM budget.
-    Returns 0 when even a 1024-wide panel does not fit (n > ~730k)."""
-    w = int(budget_bytes // (8 * max(n_rows, 1))) // 1024 * 1024
+    """Widest column panel (multiple of 1024, capped at 8192) such that the
+    tiled dense accumulator's PEAK panel footprint fits the HBM budget:
+    ~4 live (n_rows, w) f32 arrays at once (B panel / C panel / the pack
+    sweep's lane-sorted key+value copies — the round-4 nell A^3 run
+    RESOURCE_EXHAUSTED with the old 2-array estimate).  Returns 0 when even
+    a 1024-wide panel does not fit (n > ~360k)."""
+    w = int(budget_bytes // (16 * max(n_rows, 1))) // 1024 * 1024
     return min(w, 8192)
 
 
