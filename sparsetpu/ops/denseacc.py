@@ -46,6 +46,40 @@ def plan_dense_acc(a: SparseCSR, b_n_cols: int, rows_per_tile: int = 8):
     )
 
 
+def _dense_to_csr_lanesort(dense: jnp.ndarray, sr_name: str,
+                           cap: int) -> "SparseCSR":
+    """Dense f32-carrier (n, m) -> SparseCSR via batched LANE SORT pack.
+
+    from_dense_device's flat-nonzero formulation scatters the whole n*m
+    stream at ~100 M elem/s; the row-wise sort compaction runs at the
+    batched-sort rate (1-1.8 G elem/s measured) — at 27k scale that is
+    most of the untiled dense accumulator's runtime.  Stable lane order
+    keeps columns ascending; capacity overflow poisons nnz to -1."""
+    from ..ops import segments
+    from ..ops.segments import INT32_SENTINEL
+
+    n, m = dense.shape
+    mask = dense != 0
+    key = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, (n, m), 1),
+                    INT32_SENTINEL)
+    key_s, val_s = jax.lax.sort([key, dense], dimension=1, num_keys=1,
+                                is_stable=False)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    rp = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+    s = jnp.arange(cap, dtype=jnp.int32)
+    r = segments.repeat_index(rp[:-1], jnp.arange(n, dtype=jnp.int32), cap)
+    rs = jnp.clip(r, 0, n - 1)
+    kk = jnp.clip(s - rp[rs], 0, m - 1)
+    valid = (r >= 0) & (s < rp[-1])
+    col = jnp.where(valid, key_s[rs, kk], INT32_SENTINEL)
+    val = jnp.where(valid, val_s[rs, kk], 0.0)
+    nnz = jnp.where(rp[-1] <= cap, rp[-1], -1).astype(jnp.int32)
+    return SparseCSR(row_ptr=rp, col_idx=col,
+                     values=_limbs_from_f32(val, sr_name), nnz=nnz,
+                     n_rows=n, n_cols=m, sr_name=sr_name)
+
+
 @partial(jax.jit, static_argnames=("rows_per_tile", "cap", "n", "m"))
 def dense_acc_numeric(cnt, cols, lrow, vals, b: SparseCSR,
                       rows_per_tile: int, cap: int, n: int, m: int
@@ -66,8 +100,7 @@ def dense_acc_numeric(cnt, cols, lrow, vals, b: SparseCSR,
         exact = jnp.asarray(True)
     else:
         exact = jnp.max(dense) < float(1 << 24)
-    out = SparseCSR.from_dense_device(_limbs_from_f32(dense, b.sr_name),
-                                      b.sr, capacity=cap)
+    out = _dense_to_csr_lanesort(dense, b.sr_name, cap)
     nnz = jnp.where(exact & (out.nnz >= 0), out.nnz, -1).astype(jnp.int32)
     import dataclasses
 
