@@ -59,9 +59,14 @@ def load_or_synthesize(name: str, n: int, m: int) -> Tuple[str, tuple]:
     path = os.path.join("gen-graphs", f"{name}.edges")
     if os.path.exists(path):
         return name, datasets.load_edges(path)
-    # match the undirected edge count: power_law emits both directions
+    # match the undirected edge count: power_law emits both directions.
+    # zlib.crc32, not hash(): Python string hashing is randomized per
+    # process, which made nnz_a drift between runs of the "same" graph
+    import zlib
+
     m_per_node = max(1, round(m / n))
-    coo = datasets.power_law(n, m_per_node, seed=hash(name) % (1 << 31))
+    coo = datasets.power_law(n, m_per_node,
+                             seed=zlib.crc32(name.encode()) % (1 << 31))
     return f"{name}_pl", coo
 
 
