@@ -255,16 +255,23 @@ def bench_band_hybrid(label: str, a: SparseCSR, iters: int = 2,
 
     rows: List[str] = []
     n = a.n_rows
-    t0 = time.perf_counter()
-    a_rcm, _ = algos.rcm(a)
-    t_rcm = time.perf_counter() - t0
-    rp, ci, _ = a_rcm.to_numpy()
-    rr = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
-    dist = np.abs(rr - ci.astype(np.int64))
-    hw = int(-(-int(np.percentile(dist, 90)) // 128) * 128) or 128
-    h = hybrid.hybrid_from_csr(a_rcm, hw, block=128)
-    band_frac = int(h.band.nnz()) / max(int(a_rcm.nnz), 1)
-    flops = symbolic_flops_exact(a_rcm, a_rcm)
+    try:
+        t0 = time.perf_counter()
+        a_rcm, _ = algos.rcm(a)
+        t_rcm = time.perf_counter() - t0
+        rp, ci, _ = a_rcm.to_numpy()
+        rr = np.repeat(np.arange(n, dtype=np.int64), np.diff(rp))
+        dist = np.abs(rr - ci.astype(np.int64))
+        hw = int(-(-int(np.percentile(dist, 90)) // 128) * 128) or 128
+        h = hybrid.hybrid_from_csr(a_rcm, hw, block=128)
+        band_frac = int(h.band.nnz()) / max(int(a_rcm.nnz), 1)
+        flops = symbolic_flops_exact(a_rcm, a_rcm)
+    except (ValueError, OverflowError, RuntimeError) as e:
+        rows.append(f"{label},{n},{int(a.nnz)},hybrid_setup,"
+                    f"DNF_{type(e).__name__},0,0,band+esc")
+        if verbose:
+            print(rows[-1] + f"  # {e}", flush=True)
+        return rows
     if verbose:
         print(f"# [{label}] RCM {t_rcm*1e3:.0f} ms; half_width={hw} "
               f"band covers {band_frac:.1%} of nnz "
@@ -339,14 +346,22 @@ def main(argv=None):
             with open(args.out, "w") as f:
                 f.write("\n".join(all_rows + pending) + "\n")
 
+        def _write():
+            with open(args.out, "w") as f:
+                f.write("\n".join(all_rows) + "\n")
+
         all_rows += bench_chain(label, a, args.max_power, iters=args.iters,
                                 flush_fn=_flush)
+        _write()
+        if args.band_hybrid:
+            # hybrid before algos: the closure-building algorithms are the
+            # HBM-heaviest stage — run them last so an OOM there cannot
+            # take earlier sections' rows with it
+            all_rows += bench_band_hybrid(label, a, iters=args.iters)
+            _write()
         if args.algos:
             all_rows += bench_algos(label, a)
-        if args.band_hybrid:
-            all_rows += bench_band_hybrid(label, a, iters=args.iters)
-        with open(args.out, "w") as f:
-            f.write("\n".join(all_rows) + "\n")
+            _write()
     print(f"# wrote {args.out}", flush=True)
 
 
