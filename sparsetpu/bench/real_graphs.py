@@ -214,7 +214,9 @@ def bench_algos(label: str, a: SparseCSR, verbose: bool = True) -> List[str]:
     else:
         try:
             t0 = time.perf_counter()
-            total, k = algos.reachability_sum(a)
+            # pattern mode: the reference's stability criterion is the nnz
+            # pattern; path counts overflow exact ranges on dense closures
+            total, k = algos.reachability_sum(a, pattern=True)
             jax.block_until_ready(total.nnz)
             dt = time.perf_counter() - t0
             rows.append(f"{label},{n},{nnz_a},reachability,"

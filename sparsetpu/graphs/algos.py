@@ -25,6 +25,23 @@ def _pow2(x: int) -> int:
     return 1 << (max(x, 1) - 1).bit_length()
 
 
+def _pattern(c: SparseCSR) -> SparseCSR:
+    """Clamp stored values to one — the boolean-reachability view.
+
+    Path COUNTS explode past every exact range on dense closures (a 2.7k
+    power-law closure squared exceeds 2^24 per entry, killing the dense-
+    accumulator's f32 carrier), but the reference's reachability/diameter
+    drivers only consume the PATTERN (nnz stability,
+    src/graph_csr.rs:545-575, :1228-1319) — so pattern-mode iteration
+    keeps values at one between steps."""
+    import dataclasses
+
+    valid = jnp.arange(c.capacity) < c.nnz
+    ones = c.sr.ones((c.capacity,))
+    vals = tuple(jnp.where(valid, o, jnp.zeros((), o.dtype)) for o in ones)
+    return dataclasses.replace(c, values=vals)
+
+
 def matmul(a: SparseCSR, b: SparseCSR) -> SparseCSR:
     return spgemm_auto(a, b)
 
@@ -34,27 +51,40 @@ def add(a: SparseCSR, b: SparseCSR) -> SparseCSR:
     return out
 
 
-def reachability_sum(a: SparseCSR, max_iters: int = 64) -> Tuple[SparseCSR, int]:
-    """S = A + A^2 + ... until the nnz pattern stabilizes; returns (S, k)."""
+def reachability_sum(a: SparseCSR, max_iters: int = 64,
+                     pattern: bool = False) -> Tuple[SparseCSR, int]:
+    """S = A + A^2 + ... until the nnz pattern stabilizes; returns (S, k).
+
+    ``pattern=True`` clamps each power's values to one (see
+    :func:`_pattern`) — same nnz trajectory, but values stay in the
+    dense-accumulator's exact range on dense closures; S's values then
+    count reachable path LENGTHS classes rather than path multiplicity."""
     power = a
     total = a
     k = 1
     for _ in range(max_iters):
         power = spgemm_auto(power, a)
+        if pattern:
+            power = _pattern(power)
         k += 1
         new_total = add(total, power)
+        if pattern:
+            new_total = _pattern(new_total)
         if int(new_total.nnz) == int(total.nnz):
             return new_total, k
         total = new_total
     raise RuntimeError("reachability did not converge")
 
 
-def power_until_stable(a: SparseCSR, max_iters: int = 64) -> Tuple[SparseCSR, int]:
+def power_until_stable(a: SparseCSR, max_iters: int = 64,
+                       pattern: bool = False) -> Tuple[SparseCSR, int]:
     """Repeated squaring until the sparsity pattern is a fixed point."""
-    current = a
+    current = _pattern(a) if pattern else a
     k = 0
     for _ in range(max_iters):
         nxt = spgemm_auto(current, current)
+        if pattern:
+            nxt = _pattern(nxt)
         k += 1
         if bool(patterns_equal(nxt, current)):
             return nxt, k
@@ -231,14 +261,16 @@ def diameter(a: SparseCSR, max_iters: int = 64) -> int:
     (reference src/graph_csr.rs:1228-1319).  Returns the max eccentricity
     bound found; assumes a connected graph."""
     n = a.n_rows
-    base = add(a, SparseCSR.identity(n, sr=a.sr))
+    # pattern mode throughout: diameter is value-agnostic (nnz stability),
+    # and path counts on dense closures overflow every exact value range
+    base = _pattern(add(a, SparseCSR.identity(n, sr=a.sr)))
     # squaring phase: reach[k] covers paths of length <= 2^k
     powers = [base]
     steps = [1]
     current = base
     length = 1
     for _ in range(max_iters):
-        nxt = spgemm_auto(current, current)
+        nxt = _pattern(spgemm_auto(current, current))
         length *= 2
         if bool(patterns_equal(nxt, current)):
             break
@@ -257,6 +289,6 @@ def diameter(a: SparseCSR, max_iters: int = 64) -> int:
         reach = powers[-2]
         d = steps[-2]
     while int(reach.nnz) != target_nnz:
-        reach = spgemm_auto(reach, base)
+        reach = _pattern(spgemm_auto(reach, base))
         d += 1
     return d
