@@ -41,20 +41,14 @@ def main():
             out = sp.spmm_pallas(cnt, cols, lrow, vals, p,
                                  rows_per_tile=rpt, nbuf=nbuf)
             jax.block_until_ready(out)
-            # fused-loop timing: 32 reps in one dispatch
-            reps = 32
+            from sparsetpu.bench.timing import fused_loop_time
 
             def run(bump):
-                o = sp.spmm_pallas(cnt, cols, lrow, vals + bump * 0.0, p,
+                o = sp.spmm_pallas(cnt, cols, lrow, vals + bump * 1e-30, p,
                                    rows_per_tile=rpt, nbuf=nbuf)
                 return o[0, 0, 0]
 
-            fn = jax.jit(lambda: sum(run(jnp.float32(i)) for i in
-                                     range(reps)))
-            jax.block_until_ready(fn())
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn())
-            dt = (time.perf_counter() - t0) / reps
+            dt = fused_loop_time(run, reps=16, iters=2)
             tot_entries = int(np.asarray(cnt).sum())
             print(f"{nbuf},{rpt},{dt*1e3:.2f},{dt/tot_entries*1e9:.0f}",
                   flush=True)
