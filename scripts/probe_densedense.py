@@ -28,13 +28,13 @@ from sparsetpu.bench.timing import fused_loop_time  # noqa: E402
 def exactness():
     rng = np.random.default_rng(7)
     print("case,n,vmax,density,max_out,exact_f32_highest,exact_int32")
+    # n kept small: the int64 numpy oracle is O(n^3) on a single core
     for n, vmax, dens in [
         (512, 255, 1.0),
         (512, 4095, 0.2),
         (1024, 65535, 0.003),
-        (2048, 65535, 0.0015),
-        (4096, 255, 0.06),
-        (4096, 65535, 0.0008),
+        (1024, 46340, 0.02),   # inputs near sqrt(2^31): single products ok
+        (1024, 255, 0.3),      # dense-ish, outputs pushed toward 2^24
     ]:
         a = (rng.random((n, n)) < dens) * rng.integers(1, vmax + 1, (n, n))
         b = (rng.random((n, n)) < dens) * rng.integers(1, vmax + 1, (n, n))
@@ -97,5 +97,5 @@ def speed():
 
 if __name__ == "__main__":
     print(jax.devices(), file=sys.stderr)
-    exactness()
     speed()
+    exactness()

@@ -151,6 +151,30 @@ def _time_denseacc(a: SparseCSR, nnz_c: int, reps: int, iters: int) -> float:
     return fused_loop_time(step, reps=max(reps // 4, 1), iters=iters)
 
 
+def _time_densedense(a: SparseCSR, nnz_c: int, reps: int,
+                     iters: int) -> float:
+    """Fully-dense MXU route (ops/denseacc.py::spgemm_dense_dense): fused
+    loop over the whole dispatch (densify both operands, one HIGHEST
+    matmul, lane-sort pack) — everything a caller runs per product."""
+    import dataclasses as _dc
+
+    from ..ops.denseacc import densedense_numeric
+
+    cap = _pow2(nnz_c)
+
+    def call(a2):
+        return densedense_numeric(a2, a, cap)
+
+    call(a).check()
+
+    def step(bump):
+        v0 = a.values[0] + (bump * 1e-30).astype(a.values[0].dtype)
+        a2 = _dc.replace(a, values=(v0, *a.values[1:]))
+        return call(a2).values[0][0].astype(jnp.float32)
+
+    return fused_loop_time(step, reps=reps, iters=iters)
+
+
 def _time_bcoo(a: SparseCSR, reps: int, iters: int) -> Optional[float]:
     """Library baseline column (jax.experimental.sparse); times only the
     jitted sparse-sparse dot, structure prep excluded."""
@@ -181,7 +205,7 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
         power_law_sides=(27000,), algos=("esc", "escb", "rowcat"),
         reps: int = 16, iters: int = 2, verbose: bool = True,
         out_path: str = None, sort_max_flops: int = None,
-        esc_max_cap: int = None) -> str:
+        esc_max_cap: int = None, prelude: bool = True) -> str:
     rows: List[str] = ["case,n,e_per_n,nnz_a,flops,nnz_c,algo,seconds,"
                        "mproducts_per_s"]
 
@@ -226,10 +250,14 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
             native.as_host_csr(rp_h.astype(np.int64), ci_h, v_h), nn)
         nnz_c = int(crp[-1])
         try:
+            if not prelude:
+                raise StopIteration  # every algo asserts vs nnz_c itself
             if flops > sort_max_flops:
                 raise RuntimeError("DNF_compile")
             want = spgemm_rowcat(a, a).check()
             assert int(want.nnz) == nnz_c, (int(want.nnz), nnz_c)
+        except StopIteration:
+            pass
         except Exception as e:  # prelude failure must not kill the sweep
             line = (f"{case},{n},{epn},{int(a.nnz)},{flops},{nnz_c},"
                     f"rowcat,DNF_error,0.0")
@@ -240,6 +268,8 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                       f"{str(e)[:120]}", flush=True)
         # category mix (the MAGNUS dispatch picture, esp. for power-law)
         try:
+            if not prelude:
+                raise StopIteration
             from ..ops.rowcat import THRESHOLDS, plan
 
             _, _, _, stats = plan(a, a)
@@ -278,6 +308,15 @@ def run(sides=(1000, 3375, 8000, 27000), e_per_n=(2, 8, 32),
                     da_out = spgemm_dense_acc(a, a).check()
                     assert int(da_out.nnz) == nnz_c, (int(da_out.nnz), nnz_c)
                     t = _time_denseacc(a, nnz_c, reps, iters)
+                elif algo == "densedense":
+                    from ..ops.denseacc import (densedense_fits,
+                                                spgemm_dense_dense)
+
+                    if not densedense_fits(n, n, n):
+                        raise RuntimeError("DNF_error")
+                    dd_out = spgemm_dense_dense(a, a).check()
+                    assert int(dd_out.nnz) == nnz_c, (int(dd_out.nnz), nnz_c)
+                    t = _time_densedense(a, nnz_c, reps, iters)
                 elif algo == "rowcat":
                     if flops > sort_max_flops:
                         raise RuntimeError("DNF_compile")
@@ -327,13 +366,17 @@ def main(argv=None):
     ap.add_argument("--power-law-sides", type=int, nargs="*", default=[27000])
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--out", default="bench_out/spgemm_sweep.csv")
+    ap.add_argument("--no-prelude", action="store_true",
+                    help="skip the rowcat agreement warmup + catmix print "
+                         "(each algo still asserts vs the native oracle)")
     args = ap.parse_args(argv)
     from . import configure_cache
     configure_cache()
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     csv = run(sides=tuple(args.sides), e_per_n=tuple(args.e_per_n),
               power_law_sides=tuple(args.power_law_sides),
-              algos=tuple(args.algos), reps=args.reps, out_path=args.out)
+              algos=tuple(args.algos), reps=args.reps, out_path=args.out,
+              prelude=not args.no_prelude)
     with open(args.out, "w") as f:
         f.write(csv)
 

@@ -284,6 +284,71 @@ def spgemm_dense_acc_tiled(a: SparseCSR, b: SparseCSR,
                      n_rows=n, n_cols=m, sr_name=a.sr_name)
 
 
+def _densify(x: SparseCSR) -> jnp.ndarray:
+    """Full (n_rows, n_cols) f32-carrier densification (one device scatter)."""
+    rows = x.row_of_slot()
+    valid = jnp.arange(x.capacity) < x.nnz
+    r = jnp.where(valid, rows, jnp.int32(x.n_rows))
+    c = jnp.where(valid, x.col_idx, 0)
+    f = _values_to_f32(x.values, x.sr_name)
+    return jnp.zeros((x.n_rows, x.n_cols), jnp.float32).at[r, c].set(
+        jnp.where(valid, f, 0.0), mode="drop")
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def densedense_numeric(a: SparseCSR, b: SparseCSR, cap: int) -> SparseCSR:
+    """C = A x B as ONE MXU matmul over densified operands + lane-sort pack.
+
+    The fifth SpGEMM route: for small n the MXU is so much faster than any
+    gather/sort pipeline that computing ALL n*k*m products — including the
+    zeros — beats touching only the nonzero ones.  This is the TPU-native
+    answer to the reference's observation that dense BLAS wins above a few
+    percent density (bench_report.md:72-75), taken to its conclusion: on
+    the MXU the break-even moves to n <= a few thousand at ANY density,
+    because n^3 cube time at ~tens of Tflop/s undercuts the ~10 ns/element
+    random-gather floor every sparse formulation pays per pass.
+
+    Exactness (integer semirings): `precision=HIGHEST` is the 6-pass bf16
+    decomposition — exact when both inputs split into two bf16 terms
+    (values < 2^16) and every partial sum stays below the f32 integer
+    window (output < 2^24); all three checked ON DEVICE, violations poison
+    nnz to -1 (probe: scripts/probe_densedense.py)."""
+    ad = _densify(a)
+    bd = _densify(b)
+    dense = jnp.dot(ad, bd, precision=jax.lax.Precision.HIGHEST)
+    if a.sr_name == "f32":
+        exact = jnp.asarray(True)
+    else:
+        exact = ((jnp.max(ad) < float(1 << 16)) &
+                 (jnp.max(bd) < float(1 << 16)) &
+                 (jnp.max(dense) < float(1 << 24)))
+    out = _dense_to_csr_lanesort(dense, a.sr_name, cap)
+    import dataclasses
+
+    nnz = jnp.where(exact & (out.nnz >= 0), out.nnz, -1).astype(jnp.int32)
+    return dataclasses.replace(out, nnz=nnz)
+
+
+def densedense_fits(n: int, k: int, m: int, budget_bytes: float = 6e9) -> bool:
+    """Whether the dense-dense route's peak footprint (A, B, C + the pack
+    sweep's two sorted copies of C — all f32) fits the HBM budget."""
+    return 4.0 * (n * k + k * m + 3 * n * m) <= budget_bytes
+
+
+def spgemm_dense_dense(a: SparseCSR, b: SparseCSR,
+                       out_cap: Optional[int] = None) -> SparseCSR:
+    """C = A x B through the fully-dense MXU route (see densedense_numeric).
+    One device dispatch; u64/u32 exact below the checked value bounds."""
+    assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    assert a.sr_name == b.sr_name, (a.sr_name, b.sr_name)
+    if out_cap is None:
+        from .spgemm import symbolic_flops_exact
+
+        out_cap = _pow2(min(symbolic_flops_exact(a, b),
+                            a.n_rows * b.n_cols))
+    return densedense_numeric(a, b, out_cap)
+
+
 def spgemm_dense_acc(a: SparseCSR, b: SparseCSR,
                      out_cap: Optional[int] = None,
                      rows_per_tile: int = 8) -> SparseCSR:

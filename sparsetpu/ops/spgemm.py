@@ -218,9 +218,39 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
         per-category programs, the only sort path that sometimes compiles
         above the monolithic ESC ceiling.
 
-    ``kernel`` forces a path: "esc" | "rowcat" | "denseacc" | "auto"."""
+    Round-4 addition: when BOTH operands densified fit HBM and the
+    measured cost model says one MXU matmul + pack undercuts the ESC
+    expand/sort (ops/denseacc.py::spgemm_dense_dense), route there first —
+    the MXU computes all n*k*m products faster than any gather pipeline
+    touches just the nonzero ones at small n (measured sweep:
+    reports/sweep_densedense_r4.csv; 1.3-3.6x over the prior best at
+    products >= ~60k, n <= 8192).  Value-range violations (inputs >= 2^16
+    or outputs >= 2^24) poison on device and fall back to the sort paths.
+
+    ``kernel`` forces a path: "esc" | "rowcat" | "denseacc" | "densedense"
+    | "auto"."""
     flops = symbolic_flops_exact(a, b)
     if kernel == "auto":
+        from .denseacc import densedense_fits
+
+        n, k, m = a.n_rows, a.n_cols, b.n_cols
+        if densedense_fits(n, k, m):
+            # measured constants (TPU v5e, reports/sweep_densedense_r4.csv
+            # + probe_densedense_speed.csv): ~1 ns/element for the
+            # densify/sort/pack full-array passes, ~45 Tflop/s effective
+            # MXU at HIGHEST, ~16 ns per packed output entry, ~110 ns per
+            # partial product for the ESC expand/sort + ~2 ms dispatch
+            t_dd = (1e-3 + 0.2e-9 * (n * k + k * m + 3 * n * m)
+                    + 2.0 * n * k * m / 4.5e13
+                    + 16e-9 * min(flops, n * m))
+            t_esc = 2e-3 + flops * 110e-9
+            if t_dd < t_esc:
+                from .denseacc import spgemm_dense_dense
+
+                try:
+                    return spgemm_dense_dense(a, b).check()
+                except ValueError:
+                    pass  # value range too wide — fall through to sort/acc
         if flops <= (1 << 21):
             kernel = "esc"
         else:
@@ -244,6 +274,10 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             f"spgemm expansion of {flops} products cannot be materialized "
             "(int32 indexing / HBM); split the product or use a dense path"
         )
+    if kernel == "densedense":
+        from .denseacc import spgemm_dense_dense
+
+        return spgemm_dense_dense(a, b).check()
     if kernel in ("denseacc", "denseacc_tiled"):
         from .denseacc import spgemm_dense_acc, spgemm_dense_acc_tiled
 
