@@ -48,13 +48,16 @@ def plan_dense_acc(a: SparseCSR, b_n_cols: int, rows_per_tile: int = 8):
 
 def _dense_to_csr_lanesort(dense: jnp.ndarray, sr_name: str,
                            cap: int) -> "SparseCSR":
-    """Dense f32-carrier (n, m) -> SparseCSR via batched LANE SORT pack.
+    """Dense carrier (n, m) -> SparseCSR via batched LANE SORT pack.
 
     from_dense_device's flat-nonzero formulation scatters the whole n*m
     stream at ~100 M elem/s; the row-wise sort compaction runs at the
     batched-sort rate (1-1.8 G elem/s measured) — at 27k scale that is
     most of the untiled dense accumulator's runtime.  Stable lane order
-    keeps columns ascending; capacity overflow poisons nnz to -1."""
+    keeps columns ascending; capacity overflow poisons nnz to -1.
+
+    ``dense`` may be the usual f32 carrier or an int32 carrier (the wide
+    dense-dense route, values < 2^31 — f32 cannot hold them exactly)."""
     from ..ops import segments
     from ..ops.segments import INT32_SENTINEL
 
@@ -73,11 +76,25 @@ def _dense_to_csr_lanesort(dense: jnp.ndarray, sr_name: str,
     kk = jnp.clip(s - rp[rs], 0, m - 1)
     valid = (r >= 0) & (s < rp[-1])
     col = jnp.where(valid, key_s[rs, kk], INT32_SENTINEL)
-    val = jnp.where(valid, val_s[rs, kk], 0.0)
+    zero = jnp.zeros((), dense.dtype)
+    val = jnp.where(valid, val_s[rs, kk], zero)
     nnz = jnp.where(rp[-1] <= cap, rp[-1], -1).astype(jnp.int32)
+    if dense.dtype == jnp.int32:
+        limbs = _limbs_from_i32(val, sr_name)
+    else:
+        limbs = _limbs_from_f32(val, sr_name)
     return SparseCSR(row_ptr=rp, col_idx=col,
-                     values=_limbs_from_f32(val, sr_name), nnz=nnz,
+                     values=limbs, nnz=nnz,
                      n_rows=n, n_cols=m, sr_name=sr_name)
+
+
+def _limbs_from_i32(x: jnp.ndarray, sr_name: str):
+    """Nonnegative int32 carrier -> limb tuple (values < 2^31)."""
+    assert sr_name in ("u32", "u64"), sr_name
+    lo = x.astype(jnp.uint32)
+    if sr_name == "u32":
+        return (lo,)
+    return (lo, jnp.zeros_like(lo))
 
 
 @partial(jax.jit, static_argnames=("rows_per_tile", "cap", "n", "m"))
@@ -329,6 +346,50 @@ def densedense_numeric(a: SparseCSR, b: SparseCSR, cap: int) -> SparseCSR:
     return dataclasses.replace(out, nnz=nnz)
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def densedense_numeric_i32(a: SparseCSR, b: SparseCSR, cap: int) -> SparseCSR:
+    """Wide-window integer dense-dense: int32 matmul, exact for outputs
+    < 2^30 — 64x the f32 route's 2^24 window (inputs may exceed 2^16 too).
+
+    int32 dot_general wraps silently at 2^31, so overflow is detected by
+    an f32 HIGHEST magnitude companion: with nonnegative integer inputs
+    the f32 estimate tracks the true result within ~2^-20 relative, so
+    `est < 2^30` certifies every int32 partial sum stayed below 2^31 (sums
+    of nonnegative terms are monotone).  Input validity (every value
+    < 2^31, u64 hi limbs zero) is checked from the limbs on device.
+    Measured cost: the int32 matmul runs ~2x the HIGHEST f32 matmul's
+    flat ~3 ms floor (scripts/probe_densedense.py) — still far below any
+    sort path at the sizes this route serves.  spgemm_auto uses it as the
+    fallback tier between the f32 route and the sort kernels."""
+    assert a.sr_name in ("u32", "u64"), a.sr_name
+
+    def densify_i(x: SparseCSR):
+        rows = x.row_of_slot()
+        valid = jnp.arange(x.capacity) < x.nnz
+        r = jnp.where(valid, rows, jnp.int32(x.n_rows))
+        c = jnp.where(valid, x.col_idx, 0)
+        lo = x.values[0]
+        v = jnp.where(valid, lo, 0).astype(jnp.int32)
+        d = jnp.zeros((x.n_rows, x.n_cols), jnp.int32).at[r, c].set(
+            v, mode="drop")
+        ok = jnp.max(jnp.where(valid, lo, 0)) < jnp.uint32(1 << 31)
+        if x.sr_name == "u64":
+            ok &= jnp.max(jnp.where(valid, x.values[1], 0)) == 0
+        return d, ok
+
+    ad, ok_a = densify_i(a)
+    bd, ok_b = densify_i(b)
+    est = jnp.dot(ad.astype(jnp.float32), bd.astype(jnp.float32),
+                  precision=jax.lax.Precision.HIGHEST)
+    dense = jax.lax.dot_general(ad, bd, (((1,), (0,)), ((), ())))
+    exact = ok_a & ok_b & (jnp.max(est) < float(1 << 30))
+    out = _dense_to_csr_lanesort(dense, a.sr_name, cap)
+    import dataclasses
+
+    nnz = jnp.where(exact & (out.nnz >= 0), out.nnz, -1).astype(jnp.int32)
+    return dataclasses.replace(out, nnz=nnz)
+
+
 def densedense_fits(n: int, k: int, m: int, budget_bytes: float = 6e9) -> bool:
     """Whether the dense-dense route's peak footprint (A, B, C + the pack
     sweep's two sorted copies of C — all f32) fits the HBM budget."""
@@ -336,9 +397,11 @@ def densedense_fits(n: int, k: int, m: int, budget_bytes: float = 6e9) -> bool:
 
 
 def spgemm_dense_dense(a: SparseCSR, b: SparseCSR,
-                       out_cap: Optional[int] = None) -> SparseCSR:
+                       out_cap: Optional[int] = None,
+                       wide: bool = False) -> SparseCSR:
     """C = A x B through the fully-dense MXU route (see densedense_numeric).
-    One device dispatch; u64/u32 exact below the checked value bounds."""
+    One device dispatch; u64/u32 exact below the checked value bounds.
+    ``wide``: the int32 tier (densedense_numeric_i32), outputs < 2^30."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
     assert a.sr_name == b.sr_name, (a.sr_name, b.sr_name)
     if out_cap is None:
@@ -346,6 +409,8 @@ def spgemm_dense_dense(a: SparseCSR, b: SparseCSR,
 
         out_cap = _pow2(min(symbolic_flops_exact(a, b),
                             a.n_rows * b.n_cols))
+    if wide:
+        return densedense_numeric_i32(a, b, out_cap)
     return densedense_numeric(a, b, out_cap)
 
 

@@ -250,7 +250,12 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
                 try:
                     return spgemm_dense_dense(a, b).check()
                 except ValueError:
-                    pass  # value range too wide — fall through to sort/acc
+                    pass  # value range too wide for the f32 tier
+                if a.sr_name in ("u32", "u64"):
+                    try:  # int32 tier: outputs < 2^30 (64x the window)
+                        return spgemm_dense_dense(a, b, wide=True).check()
+                    except ValueError:
+                        pass  # genuinely wide values — sort paths below
         if flops <= (1 << 21):
             kernel = "esc"
         else:

@@ -228,3 +228,39 @@ def test_auto_routes_densedense_and_falls_back():
     assert int(out2.nnz) == ref.nnz
     assert np.array_equal(
         out2.to_dense_numpy().astype(np.int64), ref.toarray())
+
+
+def test_dense_dense_wide_i32_tier():
+    from sparsetpu.ops.denseacc import spgemm_dense_dense
+    from sparsetpu.ops.spgemm import spgemm_auto
+
+    # outputs in [2^24, 2^30) (the f32 tier's output check poisons): the
+    # int32 tier must produce the exact result, and auto must route
+    # through it
+    coo = random_graph(150, 900, seed=41)
+    r, c, v, n = coo
+    v2 = (v.astype(np.uint64) % 7 + 1) * 1200
+    a = SparseCSR.from_coo_host(r, c, v2, n)
+    sc = ss.coo_matrix((v2.astype(np.int64), (r, c)), shape=(n, n)).tocsr()
+    ref = sc @ sc
+    assert int(ref.max()) < (1 << 30) and int(ref.max()) >= (1 << 24)
+    with pytest.raises(ValueError):
+        spgemm_dense_dense(a, a).check()  # f32 tier correctly refuses
+    out = spgemm_dense_dense(a, a, wide=True).check()
+    assert int(out.nnz) == ref.nnz
+    assert np.array_equal(out.to_dense_numpy().astype(np.int64),
+                          ref.toarray())
+    out2 = spgemm_auto(a, a)
+    assert np.array_equal(out2.to_dense_numpy().astype(np.int64),
+                          ref.toarray())
+
+
+def test_dense_dense_wide_overflow_poisons():
+    from sparsetpu.ops.denseacc import spgemm_dense_dense
+
+    # outputs past 2^30: the magnitude companion must poison
+    r = np.array([0, 0, 1, 1]); c = np.array([0, 1, 0, 1])
+    v = np.full(4, 1 << 16, dtype=np.uint64)
+    a = SparseCSR.from_coo_host(r, c, v, 2)
+    with pytest.raises(ValueError):
+        spgemm_dense_dense(a, a, wide=True).check()
