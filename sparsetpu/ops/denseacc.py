@@ -414,6 +414,138 @@ def spgemm_dense_dense(a: SparseCSR, b: SparseCSR,
     return densedense_numeric(a, b, out_cap)
 
 
+def _mm_panel_dense(ad, b: SparseCSR, lo, w: int):
+    """Densify B's columns [lo, lo+w) and matmul against the pre-densified
+    A (HIGHEST) — the MXU analog of _panel_dense.  Returns the dense C
+    panel + per-panel exactness flag (A's input bound is checked once by
+    the caller)."""
+    rows = b.row_of_slot()
+    valid = (b.col_idx >= lo) & (b.col_idx < lo + w)
+    r = jnp.where(valid, rows, jnp.int32(b.n_rows))
+    c = jnp.where(valid, b.col_idx - lo, 0)
+    bf = _values_to_f32(b.values, b.sr_name)
+    panel = jnp.zeros((b.n_rows, w), jnp.float32).at[r, c].set(
+        jnp.where(valid, bf, 0.0), mode="drop")
+    dense = jnp.dot(ad, panel, precision=jax.lax.Precision.HIGHEST)
+    if b.sr_name == "f32":
+        exact = jnp.asarray(True)
+    else:
+        exact = ((jnp.max(panel) < float(1 << 16)) &
+                 (jnp.max(dense) < float(1 << 24)))
+    return dense, exact
+
+
+@partial(jax.jit, static_argnames=("w",))
+def _mm_panel_counts(ad, b: SparseCSR, lo, w: int):
+    dense, exact = _mm_panel_dense(ad, b, lo, w)
+    counts = jnp.sum((dense != 0).astype(jnp.int32), axis=1)
+    return counts, exact
+
+
+@partial(jax.jit, donate_argnums=(4, 5, 6),
+         static_argnames=("w", "cap_p"))
+def _mm_panel_pack_merge(ad, b: SparseCSR, lo, final_row_ptr, prior,
+                         dst_col, dst_limbs, w: int, cap_p: int):
+    """Sweep-2 program of the tiled dense-dense route: recompute one C
+    panel on the MXU, lane-sort pack, scatter at per-row offsets (same
+    merge mechanics as _panel_pack_merge — panels have disjoint ascending
+    column ranges, so no global sort)."""
+    from . import segments
+    from .segments import INT32_SENTINEL
+
+    n = ad.shape[0]
+    dense, exact = _mm_panel_dense(ad, b, lo, w)
+    mask = dense != 0
+    key = jnp.where(mask, jnp.arange(w, dtype=jnp.int32)[None, :],
+                    INT32_SENTINEL)
+    key_s, val_s = jax.lax.sort([key, dense], dimension=1, num_keys=1,
+                                is_stable=False)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=1)
+    rp = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)])
+    s = jnp.arange(cap_p, dtype=jnp.int32)
+    r = segments.repeat_index(rp[:-1], jnp.arange(n, dtype=jnp.int32), cap_p)
+    rs = jnp.clip(r, 0, n - 1)
+    kk = jnp.clip(s - rp[rs], 0, w - 1)
+    valid = (r >= 0) & (s < rp[-1])
+    col_l = key_s[rs, kk]
+    val = val_s[rs, kk]
+    cap = dst_col.shape[0]
+    dest = jnp.where(valid, final_row_ptr[rs] + prior[rs] + (s - rp[rs]),
+                     jnp.int32(cap))
+    dst_col = dst_col.at[dest].set(col_l + lo, mode="drop")
+    limbs = _limbs_from_f32(val, b.sr_name)
+    dst_limbs = tuple(d.at[dest].set(l, mode="drop")
+                      for d, l in zip(dst_limbs, limbs))
+    prior = prior + counts
+    return dst_col, dst_limbs, prior, exact
+
+
+def densedense_tiled_panel_cols(n: int, k: int,
+                                budget_bytes: float = 6e9) -> int:
+    """Widest B/C column panel (multiple of 1024, capped at 8192) such
+    that A_dense (n, k) + ~4 live (max(n,k), w) f32 panels fit the HBM
+    budget.  0 when A_dense alone does not fit (n*k > ~1.2e9)."""
+    rest = budget_bytes - 4.0 * n * k
+    if rest <= 0:
+        return 0
+    w = int(rest // (16 * max(n, k, 1))) // 1024 * 1024
+    return min(w, 8192)
+
+
+def spgemm_dense_dense_tiled(a: SparseCSR, b: SparseCSR,
+                             panel_cols: int = 8192) -> SparseCSR:
+    """C = A x B: densify A ONCE, sweep B/C column panels through the MXU.
+
+    Extends the fully-dense route (densedense_numeric) past the square
+    HBM bound: peak footprint is A_dense (n, k) + a few (n|k, panel_cols)
+    panels, so n up to ~30k fits where the untiled route dies at ~12k.
+    Same two-sweep counts-first discipline as spgemm_dense_acc_tiled
+    (exact final row_ptr from sweep 1; panel-uniform static shapes =
+    one compile per program).  Exactness per the f32 tier: inputs < 2^16,
+    every panel's outputs < 2^24, checked on device, poisoning nnz."""
+    assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    assert a.sr_name == b.sr_name, (a.sr_name, b.sr_name)
+    assert panel_cols % 1024 == 0, panel_cols
+    n, m = a.n_rows, b.n_cols
+    ad = _densify(a)
+    if a.sr_name == "f32":
+        a_ok = jnp.asarray(True)
+    else:
+        a_ok = jnp.max(ad) < float(1 << 16)
+    n_panels = -(-m // panel_cols)
+
+    counts_dev, exact_dev = [], [a_ok]
+    for pi in range(n_panels):
+        cts, ex = _mm_panel_counts(ad, b, jnp.int32(pi * panel_cols),
+                                   panel_cols)
+        counts_dev.append(cts)
+        exact_dev.append(ex)
+    counts_all = np.asarray(jax.device_get(jnp.stack(counts_dev)))
+    all_exact = bool(jax.device_get(jnp.stack(exact_dev).all()))
+    nnzp = counts_all.sum(axis=1)
+    total = int(nnzp.sum())
+    cap = _pow2(max(total, 1))
+    cap_p = _pow2(max(int(nnzp.max(initial=1)), 1))
+    row_totals = counts_all.sum(axis=0).astype(np.int64)
+    final_row_ptr = jnp.asarray(
+        np.concatenate([[0], np.cumsum(row_totals)]).astype(np.int32))
+
+    from .segments import INT32_SENTINEL
+
+    dst_col = jnp.full((cap,), INT32_SENTINEL, jnp.int32)
+    dst_limbs = a.sr.zeros((cap,))
+    prior = jnp.zeros((n,), jnp.int32)
+    for pi in range(n_panels):
+        dst_col, dst_limbs, prior, _ = _mm_panel_pack_merge(
+            ad, b, jnp.int32(pi * panel_cols), final_row_ptr, prior,
+            dst_col, dst_limbs, panel_cols, cap_p)
+    nnz = jnp.asarray(total if all_exact else -1, jnp.int32)
+    return SparseCSR(row_ptr=final_row_ptr, col_idx=dst_col,
+                     values=dst_limbs, nnz=nnz,
+                     n_rows=n, n_cols=m, sr_name=a.sr_name)
+
+
 def spgemm_dense_acc(a: SparseCSR, b: SparseCSR,
                      out_cap: Optional[int] = None,
                      rows_per_tile: int = 8) -> SparseCSR:

@@ -264,3 +264,43 @@ def test_dense_dense_wide_overflow_poisons():
     a = SparseCSR.from_coo_host(r, c, v, 2)
     with pytest.raises(ValueError):
         spgemm_dense_dense(a, a, wide=True).check()
+
+
+def test_dense_dense_tiled_matches_scipy():
+    from sparsetpu.ops.denseacc import spgemm_dense_dense_tiled
+
+    # n > panel width so multiple panels engage; odd n exercises edges
+    coo = random_graph(2500, 9000, seed=7)
+    a = SparseCSR.from_coo_host(*coo)
+    out = spgemm_dense_dense_tiled(a, a, panel_cols=1024).check()
+    sc = _scipy_csr(coo) @ _scipy_csr(coo)
+    assert int(out.nnz) == sc.nnz
+    rp, ci, v = out.to_numpy()
+    s2 = sc.sorted_indices()
+    assert np.array_equal(rp, s2.indptr)
+    assert np.array_equal(ci, s2.indices)
+    assert np.array_equal(v.astype(np.int64), s2.data.astype(np.int64))
+
+
+def test_dense_dense_tiled_pair_rectangular():
+    from sparsetpu.ops.denseacc import spgemm_dense_dense_tiled
+
+    ca = random_graph(1100, 4000, seed=8)
+    cb = random_graph(1100, 5000, seed=9)
+    a = SparseCSR.from_coo_host(*ca)
+    b = SparseCSR.from_coo_host(*cb)
+    out = spgemm_dense_dense_tiled(a, b, panel_cols=1024).check()
+    assert np.array_equal(
+        out.to_dense_numpy().astype(np.int64),
+        (_scipy_csr(ca) @ _scipy_csr(cb)).toarray(),
+    )
+
+
+def test_dense_dense_tiled_value_bound_poisons():
+    from sparsetpu.ops.denseacc import spgemm_dense_dense_tiled
+
+    r = np.array([0, 1]); c = np.array([1, 0])
+    v = np.array([1 << 16, 3], dtype=np.uint64)
+    a = SparseCSR.from_coo_host(r, c, v, 2)
+    with pytest.raises(ValueError):
+        spgemm_dense_dense_tiled(a, a, panel_cols=1024).check()
