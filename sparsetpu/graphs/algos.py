@@ -52,13 +52,22 @@ def add(a: SparseCSR, b: SparseCSR) -> SparseCSR:
 
 
 def reachability_sum(a: SparseCSR, max_iters: int = 64,
-                     pattern: bool = False) -> Tuple[SparseCSR, int]:
+                     pattern: bool = False,
+                     dense: str = "auto") -> Tuple[SparseCSR, int]:
     """S = A + A^2 + ... until the nnz pattern stabilizes; returns (S, k).
 
     ``pattern=True`` clamps each power's values to one (see
     :func:`_pattern`) — same nnz trajectory, but values stay in the
     dense-accumulator's exact range on dense closures; S's values then
-    count reachable path LENGTHS classes rather than path multiplicity."""
+    count reachable path LENGTHS classes rather than path multiplicity.
+
+    Pattern mode routes through the dense int8 MXU engine
+    (graphs/patterns.py) when the n x n frame fits (``dense="auto"``;
+    "never" forces the sparse route, "always" asserts the frame fits)."""
+    if pattern and _route_dense(a.n_rows, dense):
+        from . import patterns
+
+        return patterns.reachability_sum(a, max_iters=max_iters)
     power = a
     total = a
     k = 1
@@ -76,9 +85,29 @@ def reachability_sum(a: SparseCSR, max_iters: int = 64,
     raise RuntimeError("reachability did not converge")
 
 
+def _route_dense(n: int, dense: str) -> bool:
+    from . import patterns
+
+    if dense == "never":
+        return False
+    if dense == "always":
+        assert patterns.fits(n), (n, patterns.MAX_PATTERN_N)
+        return True
+    assert dense == "auto", dense
+    return patterns.fits(n)
+
+
 def power_until_stable(a: SparseCSR, max_iters: int = 64,
-                       pattern: bool = False) -> Tuple[SparseCSR, int]:
-    """Repeated squaring until the sparsity pattern is a fixed point."""
+                       pattern: bool = False,
+                       dense: str = "auto") -> Tuple[SparseCSR, int]:
+    """Repeated squaring until the sparsity pattern is a fixed point.
+
+    Pattern mode takes the dense int8 MXU route when the frame fits
+    (see :func:`reachability_sum`)."""
+    if pattern and _route_dense(a.n_rows, dense):
+        from . import patterns
+
+        return patterns.power_until_stable(a, max_iters=max_iters)
     current = _pattern(a) if pattern else a
     k = 0
     for _ in range(max_iters):
@@ -92,10 +121,19 @@ def power_until_stable(a: SparseCSR, max_iters: int = 64,
     raise RuntimeError("power_until_stable did not converge")
 
 
-def connected_components_closure(a: SparseCSR) -> np.ndarray:
+def connected_components_closure(a: SparseCSR,
+                                 dense: str = "auto") -> np.ndarray:
     """Components via transitive closure (reference :578-600): add identity,
     square to fixed point, mutual reachability = same component.  Labels are
-    sequential in order of first appearance (== ascending min-node id)."""
+    sequential in order of first appearance (== ascending min-node id).
+
+    Components are value-agnostic, so the dense int8 pattern route applies
+    whenever the frame fits (and sidesteps the path-count overflow the
+    sparse closure risks on dense components)."""
+    if _route_dense(a.n_rows, dense):
+        from . import patterns
+
+        return patterns.connected_components_closure(a)
     n = a.n_rows
     with_id = add(a, SparseCSR.identity(n, sr=a.sr))
     closure, _ = power_until_stable(with_id)
@@ -256,10 +294,19 @@ def rcm(a: SparseCSR) -> Tuple[SparseCSR, np.ndarray]:
     return permute(a, perm), perm
 
 
-def diameter(a: SparseCSR, max_iters: int = 64) -> int:
+def diameter(a: SparseCSR, max_iters: int = 64, dense: str = "auto") -> int:
     """Graph diameter: squaring (A+I) to bracket, then linear refinement
     (reference src/graph_csr.rs:1228-1319).  Returns the max eccentricity
-    bound found; assumes a connected graph."""
+    bound found; assumes a connected graph.
+
+    Routes through the dense int8 pattern engine when the frame fits —
+    each squaring is one MXU matmul and each fixed-point loop one device
+    dispatch (the sparse route paid an ESC dispatch + host sync per
+    squaring: 132.8 s for the n=2708 cora substitute in round 4)."""
+    if _route_dense(a.n_rows, dense):
+        from . import patterns
+
+        return patterns.diameter(a, max_iters=max_iters)
     n = a.n_rows
     # pattern mode throughout: diameter is value-agnostic (nnz stability),
     # and path counts on dense closures overflow every exact value range
