@@ -81,12 +81,46 @@ def einsum(spec: str, operands: Sequence[Operand], sr: Semiring = F32SR,
     shapes = [i[1] for i in infos]
     dims = validate_dims(parsed, shapes)
 
-    results = []
-    for out in parsed.outputs:
-        results.append(
-            _einsum_single(parsed, out, operands, infos, dims, sr, out_format)
-        )
+    # single-pass multi-output: outputs that are axis permutations of an
+    # already-computed output reuse its contraction (the reference VM
+    # emits "ab,bc->ac,ca" from one walk, linalg/src/einsum.rs:719-727;
+    # here the one walk is one kernel dispatch, and the sibling output is
+    # a transpose — cheap relative to recomputing the contraction)
+    results: List = [None] * len(parsed.outputs)
+    computed: List[Tuple[Tuple[str, ...], object]] = []
+    for oi, out in enumerate(parsed.outputs):
+        reused = None
+        if len(set(out)) == len(out):
+            for prev_out, prev_res in computed:
+                if prev_out == out:
+                    reused = prev_res
+                    break
+                if (len(set(prev_out)) == len(prev_out)
+                        and set(prev_out) == set(out)):
+                    reused = _permute_result(
+                        prev_res, prev_out, out, sr, out_format)
+                    break
+        if reused is not None:
+            results[oi] = reused
+            continue
+        res = _einsum_single(parsed, out, operands, infos, dims, sr,
+                             out_format)
+        computed.append((out, res))
+        results[oi] = res
     return results
+
+
+def _permute_result(res, src: Tuple[str, ...], dst: Tuple[str, ...],
+                    sr: Semiring, out_format: str):
+    """Reorder a computed output's axes from ``src`` letter order to the
+    permutation ``dst``."""
+    perm = tuple(src.index(ch) for ch in dst)
+    if out_format == "sparse":
+        assert len(src) == 2 and perm == (1, 0), (src, dst)
+        return _transpose_jit(res)
+    limbs = res if isinstance(res, tuple) else (res,)
+    limbs = tuple(jnp.transpose(l, perm) for l in limbs)
+    return limbs if isinstance(res, tuple) else limbs[0]
 
 
 def _einsum_single(parsed: EinsumSpec, out: Tuple[str, ...], operands, infos,
@@ -145,9 +179,12 @@ def _try_spmm(parsed, out, operands, infos, dims, sr, out_format: str):
     gather/segment-sum kernel (ops/spmm.py): ``ab,bc->ac``, ``ab,cb->ac``,
     ``ba,bc->ac``, SpMV ``ab,b->a`` / ``b,ab->a`` and transposed variants —
     the reference VM's SparseRowLoop-over-one-sparse-operand schedule
-    (linalg/src/einsum.rs:591-626).  f32 semiring; the dense operand never
-    round-trips through the host."""
-    if sr.name != "f32" or len(parsed.inputs) != 2:
+    (linalg/src/einsum.rs:591-626).  f32 rides the float SpMM; integer
+    semirings ride the exact plane-sum SpMM (ops/spmm.spmm_csr_dense_exact
+    — the reference VM handles integer semirings uniformly,
+    linalg/src/einsum.rs:38-85).  The dense operand never round-trips
+    through the host."""
+    if len(parsed.inputs) != 2:
         return None
     kinds = [infos[0][0], infos[1][0]]
     if sorted(kinds) != ["dense", "sparse"]:
@@ -174,15 +211,24 @@ def _try_spmm(parsed, out, operands, infos, dims, sr, out_format: str):
         return None
 
     s = operands[si]
-    d = infos[di][2][0]
-    # one fused dispatch: transposes + SpMM under a single cached jit
-    # (eager per-op dispatch through the device tunnel costs ~ms each)
-    result = _spmm_exec(
-        s, d,
-        t_s=s_ix[0] == k,
-        t_d=len(d_ix) == 2 and d_ix[0] != k,
-        t_out=len(out) == 2 and out == (d_free, s_free),
-    )
+    t_s = s_ix[0] == k
+    t_d = len(d_ix) == 2 and d_ix[0] != k
+    t_out = len(out) == 2 and out == (d_free, s_free)
+    if sr.name == "f32":
+        d = infos[di][2][0]
+        # one fused dispatch: transposes + SpMM under a single cached jit
+        # (eager per-op dispatch through the device tunnel costs ~ms each)
+        result = _spmm_exec(s, d, t_s=t_s, t_d=t_d, t_out=t_out)
+    else:
+        # exact integer path: guarded by the plane-sum row-count window
+        # (one scalar host sync; violations fall back to the loop nest)
+        s_eff = _transpose_jit(s) if t_s else s
+        if int(jax.device_get(jnp.max(s_eff.row_nnz()))) >= 0xFFFF:
+            return None
+        result, _ = _spmm_exact_exec(
+            s_eff, infos[di][2], t_d=t_d, t_out=t_out)
+        if sr.nlimbs == 1:
+            result = result[0]
     return _pack_output(result, out, dims, sr, out_format)
 
 
@@ -196,6 +242,23 @@ def _spmm_exec(s: SparseCSR, d, t_s: bool, t_d: bool, t_out: bool):
         d = d.T
     result = spmm_csr_dense(s, d.astype(jnp.float32))
     return result.T if t_out else result
+
+
+@partial(jax.jit, static_argnames=("t_d", "t_out"))
+def _spmm_exact_exec(s: SparseCSR, d_limbs, t_d: bool, t_out: bool):
+    from ..ops.spmm import spmm_csr_dense_exact
+
+    d_limbs = tuple(jnp.asarray(l) for l in d_limbs)
+    if d_limbs[0].ndim == 1:
+        out, ok = spmm_csr_dense_exact(
+            s, tuple(l[:, None] for l in d_limbs))
+        return tuple(l[:, 0] for l in out), ok
+    if t_d:
+        d_limbs = tuple(l.T for l in d_limbs)
+    out, ok = spmm_csr_dense_exact(s, d_limbs)
+    if t_out:
+        out = tuple(l.T for l in out)
+    return out, ok
 
 
 # ---------------------------------------------------------------------------
@@ -397,14 +460,22 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
     (einsum-dyn/src/sparse.rs:392-406).  A 3-D GroupedCSR may drive too:
     its flat block-diagonal entry stream binds the (batch, row, col)
     letters — the VM v2 compound-row walk (linalg/src/einsum.rs:209-232)
-    — covering batched specs like ``bij,jk->bik`` and ``bij->bi``."""
+    — covering batched specs like ``bij,jk->bik`` and ``bij->bi``.
+
+    Integer semirings take this tier too when every operand is sparse
+    (traces, reductions, masks — ``ab,ab->``, ``ab->a``, ``aa->``):
+    products fold on the exact saturating semiring and outputs accumulate
+    as 16-bit plane sums (the reference VM's uniform integer handling,
+    linalg/src/einsum.rs:38-85).  Integer specs with dense partners would
+    need exact per-entry sub-contractions the f32 vmap cannot give —
+    those stay with the loop-nest fallback."""
     from ..grouped import GroupedCSR
 
-    if sr.name != "f32":
-        return None
     sparse_pos = [i for i, inf in enumerate(infos)
                   if inf[0] in ("sparse", "grouped")]
     if not sparse_pos:
+        return None
+    if sr.name != "f32" and len(sparse_pos) != len(infos):
         return None
     si = sparse_pos[0]
     s_ix = parsed.inputs[si]
@@ -457,6 +528,20 @@ def _try_entry_driven(parsed, out, operands, infos, dims, sr,
     work = s_flat.capacity * int(np.prod([dims[ch] for ch in unbound]) or 1)
     if work > ENTRY_DRIVEN_MAX_ELEMS:
         return None
+
+    if sr.name != "f32":
+        result, ok = _entry_driven_exact_exec(
+            s_flat, tuple(extra_flats), drv=drv, extra=tuple(extra),
+            out=tuple(out), dims_t=tuple(sorted(dims.items())),
+            sr_name=sr.name,
+        )
+        # per-cell plane window exceeded (>= 2^16 colliding entries):
+        # fall back to the exact loop nest (one scalar host sync)
+        if not bool(jax.device_get(ok)):
+            return None
+        if sr.nlimbs == 1:
+            result = result[0]
+        return _pack_output(result, out, dims, sr, out_format)
 
     result = _entry_driven_exec(
         s_flat, tuple(dense_arrs), tuple(extra_flats),
@@ -555,6 +640,93 @@ def _entry_driven_exec(s: SparseCSR, dense_arrs, extra_flats, drv, dense_ixs,
     perm = tuple(order0.index(ch) for ch in out)
     return jnp.transpose(res0, perm) if perm != tuple(
         range(len(out))) else res0
+
+
+@partial(jax.jit, static_argnames=("drv", "extra", "out", "dims_t",
+                                   "sr_name"))
+def _entry_driven_exact_exec(s: SparseCSR, extra_flats, drv, extra, out,
+                             dims_t, sr_name: str):
+    """Exact-integer entry-driven tier (no dense operands): per-entry
+    semiring products fold via vectorized saturating ops; outputs
+    accumulate as 16-bit plane sums recombined with saturation
+    (segments._recombine_sat16 — saturating fold of non-negative values ==
+    min(true sum, MAX)).  Returns (limbs, exact_ok); exact while every
+    output cell receives < 2^16 entries (ok=False -> caller falls back)."""
+    from ..ops import segments
+    from ..semiring import U32, U64
+
+    sr = U64 if sr_name == "u64" else U32
+    dims = dict(dims_t)
+    cap = s.capacity
+    valid = jnp.arange(cap) < s.nnz
+    r = s.row_of_slot()
+    c = s.col_idx
+    if drv[0] == "grouped":
+        _, (lb, li, lj), n, m = drv
+        b = jnp.where(valid, r // n, 0).astype(jnp.int32)
+        letter_val = {
+            lb: b,
+            li: jnp.where(valid, r % n, 0).astype(jnp.int32),
+            lj: jnp.where(valid, c - b * m, 0).astype(jnp.int32),
+        }
+    else:
+        p, q = drv[1]
+        if p == q:
+            valid = valid & (r == c)
+        letter_val = {p: jnp.where(valid, r, 0).astype(jnp.int32)}
+        if p != q:
+            letter_val[q] = jnp.where(valid, c, 0).astype(jnp.int32)
+    v = sr.where(valid, s.values, sr.zeros((cap,)))
+    for s2, e in zip(extra_flats, extra):
+        if e[0] == "grouped":
+            _, (xb, xi, xj), n2, m2 = e
+            v2 = s2.lookup(letter_val[xb] * n2 + letter_val[xi],
+                           letter_val[xb] * m2 + letter_val[xj])
+        else:
+            ix = e[1]
+            v2 = s2.lookup(letter_val[ix[0]], letter_val[ix[1]])
+        v = sr.mul(v, v2)
+
+    m16 = jnp.uint32(0xFFFF)
+    planes = []
+    for limb in v:
+        planes.append(limb & m16)
+        planes.append(limb >> 16)
+
+    out_s = tuple(ch for ch in out)  # every letter is driver-bound here
+    if out_s:
+        shape = tuple(dims[ch] for ch in out_s)
+        idxs = tuple(
+            jnp.where(valid, letter_val[ch], dims[ch]) for ch in out_s
+        )
+        sums = [
+            jnp.zeros(shape, jnp.uint32).at[idxs].add(p, mode="drop")
+            for p in planes
+        ]
+        counts = jnp.zeros(shape, jnp.uint32).at[idxs].add(
+            jnp.where(valid, jnp.uint32(1), jnp.uint32(0)), mode="drop")
+        exact_ok = jnp.max(counts) < 0xFFFF
+        return segments._recombine_sat16(sr, sums), exact_ok
+
+    # scalar output: exact per-chunk plane sums (chunk <= 2^15 terms keeps
+    # a uint32 plane sum exact), then a saturating fold over chunk totals
+    L = 1 << 15
+    nb = -(-cap // L)
+    pad = nb * L - cap
+
+    def chunk_limbs(pl):
+        p2 = jnp.concatenate([pl, jnp.zeros((pad,), jnp.uint32)])
+        return jnp.sum(p2.reshape(nb, L), axis=1, dtype=jnp.uint32)
+
+    per_chunk = segments._recombine_sat16(
+        sr, [chunk_limbs(p) for p in planes])
+
+    def body(i, acc):
+        return sr.add(acc, tuple(l[i] for l in per_chunk))
+
+    total = jax.lax.fori_loop(
+        1, nb, body, tuple(l[0] for l in per_chunk))
+    return total, jnp.asarray(True)
 
 
 # ---------------------------------------------------------------------------

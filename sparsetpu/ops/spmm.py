@@ -113,3 +113,45 @@ def dense_to_csr(c_dense, sr, capacity: Optional[int] = None) -> SparseCSR:
         r, cc, vals, d.shape[0], d.shape[1], sr=sr,
         capacity=capacity or max(len(r), 1),
     )
+
+
+@jax.jit
+def spmm_csr_dense_exact(a: SparseCSR, d_limbs):
+    """C = A x D on the exact saturating integer semiring (u32/u64 limb
+    tuples) — the SpMM lowering for integer einsum specs the f32 carrier
+    cannot serve (reference VM handles integer semirings uniformly,
+    linalg/src/einsum.rs:38-85).
+
+    Gather D rows by A's columns, saturating-multiply by A's entry values,
+    then segment-sum by row as MODULAR 16-bit plane sums recombined with
+    saturation (segments._recombine_sat16): the saturating fold of
+    non-negative values equals min(true sum, MAX), so exact plane sums
+    suffice.  Exact while every row's entry count < 2^16; returns
+    (limbs, exact_ok) and the caller must not use limbs when ~exact_ok —
+    the framework's loud-failure discipline.
+    """
+    from . import segments
+
+    sr = a.sr
+    valid = jnp.arange(a.capacity) < a.nnz
+    rows = jnp.where(valid, a.row_of_slot(), a.n_rows)
+    cols = jnp.where(valid, jnp.clip(a.col_idx, 0, a.n_cols - 1), 0)
+    g = tuple(l[cols] for l in d_limbs)                    # (cap, m) limbs
+    av = tuple(l[:, None] for l in a.values)
+    prod = sr.mul(av, g)
+    prod = tuple(jnp.where(valid[:, None], l, 0) for l in prod)
+    m16 = jnp.uint32(0xFFFF)
+    planes = []
+    for limb in prod:
+        planes.append(limb & m16)
+        planes.append(limb >> 16)
+    n_seg = a.n_rows + 1
+    sums = [
+        jax.ops.segment_sum(p, rows, num_segments=n_seg,
+                            indices_are_sorted=True)[: a.n_rows]
+        for p in planes
+    ]
+    out = segments._recombine_sat16(sr, sums)
+    # plane exactness: a 16-bit plane of 2^16 max-valued terms wraps uint32
+    exact_ok = jnp.max(a.row_nnz()) < 0xFFFF
+    return out, exact_ok

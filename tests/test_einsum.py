@@ -540,3 +540,134 @@ class TestEntryDriven:
         dnp, s = self._sp((5, 5), seed=3)
         got = einsum("aa->", [s])[0]
         assert np.array_equal(np.asarray(got), np.einsum("aa->", dnp))
+
+
+class TestMultiOutputSinglePass:
+    """Reference VM computes "ab,bc->ac,ca" outputs in one walk
+    (linalg/src/einsum.rs:719-727); the engine must dispatch ONE
+    contraction and derive permuted siblings by transpose."""
+
+    def test_one_spgemm_for_permuted_outputs(self, monkeypatch):
+        import sparsetpu.ops.spgemm as spg_mod
+
+        calls = []
+        real = spg_mod.spgemm_auto
+
+        def counting(a, b, *args, **kw):
+            calls.append(1)
+            return real(a, b, *args, **kw)
+
+        monkeypatch.setattr(spg_mod, "spgemm_auto", counting)
+        a = np.arange(16, dtype=np.float32).reshape(4, 4) % 5
+        b = (np.arange(16, dtype=np.float32).reshape(4, 4) * 3) % 7
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        sb = SparseCSR.from_dense_numpy(b, sr=F32SR)
+        got = einsum("ab,bc->ac,ca", [sa, sb])
+        assert len(calls) == 1, f"expected one SpGEMM dispatch, got {calls}"
+        np.testing.assert_array_equal(np.asarray(got[0]), a @ b)
+        np.testing.assert_array_equal(np.asarray(got[1]), (a @ b).T)
+
+    def test_identical_outputs_reused(self):
+        a = np.arange(12, dtype=np.float32).reshape(3, 4)
+        got = einsum("ab->ba,ba", [a])
+        np.testing.assert_array_equal(np.asarray(got[0]), a.T)
+        np.testing.assert_array_equal(np.asarray(got[1]), a.T)
+
+    def test_permuted_3d_outputs(self):
+        a = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+        got = einsum("abc->abc,cab,bca", [a])
+        np.testing.assert_array_equal(np.asarray(got[0]), a)
+        np.testing.assert_array_equal(
+            np.asarray(got[1]), np.transpose(a, (2, 0, 1)))
+        np.testing.assert_array_equal(
+            np.asarray(got[2]), np.transpose(a, (1, 2, 0)))
+
+    def test_sparse_output_format_permuted(self):
+        a = np.array([[0, 2], [3, 0]], np.float32)
+        b = np.array([[1, 0], [0, 4]], np.float32)
+        sa = SparseCSR.from_dense_numpy(a, sr=F32SR)
+        sb = SparseCSR.from_dense_numpy(b, sr=F32SR)
+        got = einsum("ab,bc->ac,ca", [sa, sb], out_format="sparse")
+        np.testing.assert_array_equal(got[0].to_dense_numpy(), a @ b)
+        np.testing.assert_array_equal(got[1].to_dense_numpy(), (a @ b).T)
+
+
+class TestU64KernelTiers:
+    """Integer semirings through the SpMM / entry-driven kernel tiers
+    (reference VM handles integer semirings uniformly,
+    linalg/src/einsum.rs:38-85) — previously these specs densified through
+    the loop-nest fallback."""
+
+    def _su64(self, dense):
+        return SparseCSR.from_dense_numpy(dense.astype(np.uint64), sr=U64)
+
+    def test_spmm_u64_exact_and_saturating(self, monkeypatch):
+        import sparsetpu.ops.spmm as spmm_mod
+
+        calls = []
+        real = spmm_mod.spmm_csr_dense_exact
+
+        def counting(s, d):
+            calls.append(1)
+            return real(s, d)
+
+        monkeypatch.setattr(spmm_mod, "spmm_csr_dense_exact", counting)
+        da = np.array([[1 << 40, 0, 3], [0, 5, 0]], np.uint64)
+        db = np.array([[1 << 30, 2], [3, 4], [5, 6]], np.uint64)
+        sa = self._su64(da)
+        (got,) = einsum("ab,bc->ac", [sa, U64.from_numpy(db)], sr=U64)
+        assert calls, "u64 sparse x dense must route through the exact SpMM"
+        want = np.minimum(
+            da.astype(object) @ db.astype(object), 2**64 - 1
+        )
+        np.testing.assert_array_equal(U64.to_numpy(got).astype(object), want)
+
+    def test_spmm_u64_transposed_variants(self):
+        da = np.array([[7, 0], [0, 9], [1, 1]], np.uint64)   # (3, 2)
+        dd = np.array([[2, 0, 1], [3, 4, 0], [5, 6, 7]], np.uint64)  # (3, 3)
+        sa = self._su64(da)
+        # ba,bc->ac: contraction along the sparse operand's rows
+        (got,) = einsum("ba,bc->ac", [sa, U64.from_numpy(dd)], sr=U64)
+        want = da.astype(object).T @ dd.astype(object)
+        np.testing.assert_array_equal(U64.to_numpy(got).astype(object), want)
+        # ab,cb->ca: dense transposed + reversed output
+        (got2,) = einsum("ab,cb->ca", [self._su64(da.T),
+                                       U64.from_numpy(dd)], sr=U64)
+        want2 = (da.astype(object).T @ dd.astype(object).T).T
+        np.testing.assert_array_equal(U64.to_numpy(got2).astype(object),
+                                      want2)
+
+    def test_spmv_u64(self):
+        da = np.array([[1 << 33, 2], [0, 3]], np.uint64)
+        v = np.array([4, 5], np.uint64)
+        (got,) = einsum("ab,b->a", [self._su64(da), U64.from_numpy(v)],
+                        sr=U64)
+        want = da.astype(object) @ v.astype(object)
+        np.testing.assert_array_equal(U64.to_numpy(got).astype(object), want)
+
+    def test_entry_driven_u64_mask_product(self):
+        da = np.array([[1 << 35, 0], [2, 3]], np.uint64)
+        db = np.array([[1 << 35, 7], [0, 4]], np.uint64)
+        sa, sb = self._su64(da), self._su64(db)
+        (got,) = einsum("ab,ab->", [sa, sb], sr=U64)
+        true = sum(int(x) * int(y)
+                   for x, y in zip(da.ravel(), db.ravel()))
+        got_i = int(U64.to_numpy(got))
+        assert got_i == min(true, 2**64 - 1)
+
+    def test_entry_driven_u64_row_reduce_and_trace(self):
+        da = np.array([[1 << 40, 2, 0], [5, 0, 7], [0, 0, 9]], np.uint64)
+        sa = self._su64(da)
+        (got,) = einsum("ab->a", [sa], sr=U64)
+        np.testing.assert_array_equal(
+            U64.to_numpy(got).astype(object),
+            da.astype(object).sum(axis=1))
+        (tr,) = einsum("aa->", [sa], sr=U64)
+        assert int(U64.to_numpy(tr)) == int(da.trace())
+
+    def test_entry_driven_u64_saturates(self):
+        big = 1 << 63
+        da = np.array([[big, big], [big, 1]], np.uint64)
+        sa = self._su64(da)
+        (got,) = einsum("ab->", [sa], sr=U64)
+        assert int(U64.to_numpy(got)) == 2**64 - 1
