@@ -329,7 +329,16 @@ def densedense_numeric(a: SparseCSR, b: SparseCSR, cap: int) -> SparseCSR:
     decomposition — exact when both inputs split into two bf16 terms
     (values < 2^16) and every partial sum stays below the f32 integer
     window (output < 2^24); all three checked ON DEVICE, violations poison
-    nnz to -1 (probe: scripts/probe_densedense.py)."""
+    nnz to -1 (probe: scripts/probe_densedense.py).
+
+    f32 pattern semantics: the lane-sort pack keeps only cells whose VALUE
+    is nonzero, so f32 products whose signed terms cancel to exactly 0
+    are dropped from the output pattern — the sort-path kernels (ESC)
+    keep such merged zero-sum entries.  Values agree either way; only the
+    explicit-zero pattern differs, and which one a mixed-sign f32 product
+    gets now depends on spgemm_auto's cost-model route.  Callers that
+    need ESC's pattern stability must force kernel="esc"/"escb".
+    Integer semirings are unaffected (non-negative values cannot cancel)."""
     ad = _densify(a)
     bd = _densify(b)
     dense = jnp.dot(ad, bd, precision=jax.lax.Precision.HIGHEST)

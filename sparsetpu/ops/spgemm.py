@@ -33,6 +33,10 @@ from . import segments
 from .segments import INT32_SENTINEL
 
 
+def _pow2(x: int) -> int:
+    return 1 << (max(int(x), 1) - 1).bit_length()
+
+
 def symbolic_flops(a: SparseCSR, b: SparseCSR) -> jnp.ndarray:
     """Number of partial products in A x B (upper bound on nnz(C)).
 
@@ -247,15 +251,31 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             if t_dd < t_esc:
                 from .denseacc import spgemm_dense_dense
 
-                try:
-                    return spgemm_dense_dense(a, b).check()
-                except ValueError:
-                    pass  # value range too wide for the f32 tier
+                # tier pre-selection from host-side value maxima (two tiny
+                # syncs) instead of dispatching a tier that provably
+                # poisons: the f32 tier needs both inputs < 2^16; the
+                # int32 tier tolerates wider inputs but outputs < 2^30
+                # (output bounds still checked on device)
+                cap_dd = _pow2(min(flops, n * m))
+                amax, bmax = max_value(a), max_value(b)
+                f32_in_ok = (a.sr_name == "f32"
+                             or (amax < (1 << 16) and bmax < (1 << 16)))
+                tiers = ([False] if f32_in_ok else [])
                 if a.sr_name in ("u32", "u64"):
-                    try:  # int32 tier: outputs < 2^30 (64x the window)
-                        return spgemm_dense_dense(a, b, wide=True).check()
+                    tiers.append(True)  # int32 tier: outputs < 2^30
+                for wide in tiers:
+                    try:
+                        return spgemm_dense_dense(
+                            a, b, out_cap=cap_dd, wide=wide).check()
                     except ValueError:
-                        pass  # genuinely wide values — sort paths below
+                        pass  # on-device range check poisoned — next tier
+                    except jax.errors.JaxRuntimeError as e:
+                        # near the HBM boundary the wide tier's extra
+                        # int32 product + f32 companion can exhaust
+                        # memory even when densedense_fits passed (it
+                        # models the f32 tier) — degrade to sort paths
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
         if flops <= (1 << 21):
             kernel = "esc"
         else:
