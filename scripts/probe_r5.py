@@ -147,7 +147,9 @@ def scatter_max():
 @section("sort_batch")
 def sort_batch():
     rng = np.random.default_rng(4)
-    for r, l in ((27000, 32), (27000, 256), (27000, 2048), (1024, 32768)):
+    # (27000, 2048) stalled the remote compiler >35 min and was dropped:
+    # mid-height wide batched sorts join the known compile-stall class
+    for r, l in ((64, 32768), (1024, 32768)):
         keys = jnp.asarray(
             rng.integers(0, 1 << 31, (r, l)).astype(np.int32))
         pay = jnp.asarray(
@@ -167,7 +169,7 @@ def sort_batch():
 @section("cumsum_ax1")
 def cumsum_ax1():
     rng = np.random.default_rng(5)
-    for r, l in ((27000, 2048), (1024, 32768)):
+    for r, l in ((64, 32768), (1024, 32768)):
         x = jnp.asarray(rng.integers(0, 1 << 16, (r, l)).astype(np.uint32))
 
         def run(bump):
@@ -288,8 +290,8 @@ def coalesce():
 def main():
     emit(f"# probe_r5 start {time.strftime('%H:%M:%S')} "
          f"backend={jax.default_backend()}")
-    for s in (rowgather, gather1d, scatter_max, sort_batch, cumsum_ax1,
-              chain_tune, patmm, densify, coalesce):
+    for s in (chain_tune, sort_batch, cumsum_ax1, patmm, densify, coalesce,
+              rowgather, gather1d, scatter_max):
         s()
     emit("# probe_r5 done")
 

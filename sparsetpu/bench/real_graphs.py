@@ -119,7 +119,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     backwards, which priced nell A^3 at nnz(A^2)=13.6M DMAs per panel."""
     import jax
 
-    from ..ops.escb import spgemm_blocked
+    from ..ops.slab import spgemm_slab
     from ..ops.spgemm import spgemm_auto, symbolic_flops_exact
     from .. import native
 
@@ -144,7 +144,7 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     for step in range(2, max_power + 1):
         flops = symbolic_flops_exact(a, prev)
         if flops <= SORT_MAX_FLOPS:
-            algo = "escb"
+            algo = "slab"
         elif dense_fits:
             algo = "denseacc"
         elif panel_w and 2 * nnz_a * n_panels <= MAX_DMA_ISSUES:
@@ -162,8 +162,8 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
             break
 
         def run_once():
-            if algo == "escb":
-                return spgemm_blocked(a, prev)
+            if algo == "slab":
+                return spgemm_slab(a, prev)
             return spgemm_auto(a, prev, kernel=algo)
 
         try:

@@ -223,6 +223,12 @@ def spgemm_blocked(a: SparseCSR, b: SparseCSR,
     fr fetch + the bin packing; then one fused numeric dispatch (two when
     wide rows force a second lane width)."""
     assert a.n_cols == b.n_rows, (a.shape, b.shape)
+    if a.n_rows * b.n_cols >= 1 << 31:
+        # the fused i*m+j key wraps int32: merges/rows silently corrupt.
+        # ops/slab.py sorts on (row, col) pairs and has no such bound.
+        raise ValueError(
+            f"escb fused keys need n*m < 2^31 (got {a.n_rows}x{b.n_cols}); "
+            "use ops/slab.spgemm_slab")
     from .spgemm import narrow_u64_ok
 
     narrow = narrow_u64_ok(a, b)

@@ -320,6 +320,13 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
         from .rowcat import spgemm_rowcat
 
         return spgemm_rowcat(a, b).check()
+    if kernel in ("slab", "escb"):
+        from .escb import spgemm_blocked
+        from .slab import spgemm_slab
+
+        fn = spgemm_slab if kernel == "slab" else spgemm_blocked
+        return fn(a, b, out_cap=_pow2(min(flops, a.n_rows * b.n_cols))
+                  ).check()
     cap = max(flops, 1)
     if round_to_pow2:
         cap = 1 << (cap - 1).bit_length()
