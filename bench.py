@@ -91,9 +91,14 @@ def main():
                                                      3000)),
                         help="degrade gracefully instead of being killed: "
                              "post-JSON extras are skipped past this")
+    parser.add_argument("--nbuf", type=int, default=8,
+                        help="pallas DMA pipeline depth")
+    parser.add_argument("--switch-step", type=int, default=5,
+                        help="mixed chain: first step on the DMA kernel "
+                             "(earlier steps ride slab ESC)")
     parser.add_argument("--algo",
                         choices=["auto", "pallas", "dense", "band", "esc",
-                                 "rowcat", "escb"],
+                                 "rowcat", "escb", "mixed"],
                         default="auto",
                         help="auto = self-route via ops.hybrid.choose_strategy "
                              "(the MagnusConfig role); pallas = DMA-ring "
@@ -105,7 +110,7 @@ def main():
     args = parser.parse_args()
 
     dims = (12, 12, 12) if args.quick else (30, 30, 30)
-    verify = args.algo in ("auto", "pallas") and not args.no_verify
+    verify = args.algo in ("auto", "pallas", "mixed") and not args.no_verify
 
     # ---- phase 0: host build + native oracle in a thread (pure numpy/C++,
     # no jax) overlapped with the TPU pool claim on the main thread
@@ -183,6 +188,16 @@ def main():
                                    reps=reps, keep_final=keep_final,
                                    native_stats=host_out.get("native_stats"),
                                    kernel=args.pallas_kernel)
+    elif args.algo == "mixed":
+        from sparsetpu.bench.chain import run_chain_mixed
+
+        assert host_out.get("native_stats"), "mixed chain needs the oracle"
+        results, chain_total = run_chain_mixed(
+            a, host_out["native_stats"], max_step=args.steps,
+            switch_step=min(args.switch_step, args.steps + 1),
+            iters=args.iters, reps=reps,
+            rows_per_tile=args.rows_per_tile, nbuf=args.nbuf)
+        log(f"mixed chain total: {chain_total*1e3:.2f}ms")
     elif args.algo == "rowcat":
         results = run_chain_rowcat(a, max_step=args.steps, iters=args.iters)
     elif args.algo == "escb":

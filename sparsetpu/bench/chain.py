@@ -626,3 +626,165 @@ def chain_csv(results: List[ChainStep]) -> str:
             f"{r.step},{r.nnz},{r.flops},{r.seconds:.6f},{r.nnz_per_s:.1f},{r.gflops:.3f}"
         )
     return "\n".join(lines) + "\n"
+
+
+def run_chain_mixed(
+    a: SparseCSR,
+    native_stats: list,
+    max_step: int = 7,
+    switch_step: int = 5,
+    iters: int = 3,
+    reps: int = 4,
+    rows_per_tile: int = 24,
+    nbuf: int = 8,
+    slab_reps: int = 8,
+    verbose: bool = True,
+) -> Tuple[List[ChainStep], float]:
+    """Mixed-kernel chain: slab ESC for the sparse early steps, the Pallas
+    DMA dense-accumulator for the dense late steps (VERDICT r5 ask #4 —
+    beat the CPU on the WHOLE chain, not just A^7).
+
+    Steps 2..switch_step-1 run the slab kernel with fused-rep numeric
+    timing (fixed plan, spgemm_bench protocol); then the sparse power
+    densifies into row planes (TIMED — the transition is a real cost, and
+    the reported total includes it) and steps switch_step..max_step run
+    the DMA kernel with prefix-differential timing.
+
+    Returns (per-step records, total_seconds) where total_seconds =
+    sum(early numeric steps) + densify + sum(late differentials): the
+    number to put against the reference CSR-par chain total (~102 ms,
+    BASELINE.md).
+    """
+    import dataclasses
+    from functools import partial as _partial
+
+    from ..kernels import spmm_pallas as sp
+    from ..ops import slab as slab_mod
+    from ..ops.spgemm import narrow_u64_ok
+    from .timing import fused_loop_time
+
+    assert 2 < switch_step <= max_step + 1
+    stats_by_step = {s[0]: s for s in native_stats}
+    results: List[ChainStep] = []
+    total = 0.0
+
+    # ---- early steps: slab ESC, per-step fixed-plan fused timing
+    cur = a
+    for step in range(2, switch_step):
+        narrow = a.sr_name == "u64" and narrow_u64_ok(cur, a)
+        rc_dev, nch_total, sg_dev = slab_mod.plan_device(cur, a,
+                                                         slab_mod.DEFAULT_C)
+        rc = np.asarray(jax.device_get(rc_dev)).astype(np.int64)
+        ncc = max(int(jax.device_get(nch_total)), 1)
+        sg = _pow2(max(int(jax.device_get(sg_dev)), 1))
+        _, want_nnz, _, flops = stats_by_step[step]
+        out_cap = _pow2(flops)
+        lc = slab_mod.DEFAULT_L // slab_mod.DEFAULT_C
+        assert not (rc > lc).any(), "torus chain rows must fit one block"
+        sel, starts, nb = slab_mod.pack_rows_ordered(rc, lc)
+        sel_d, starts_d = jnp.asarray(sel), jnp.asarray(starts)
+        rc_d = jnp.asarray(rc.astype(np.int32))
+
+        c = slab_mod._numeric(cur, a, sel_d, starts_d, rc_d,
+                              slab_mod.DEFAULT_C, slab_mod.DEFAULT_L, nb,
+                              ncc, sg, out_cap, narrow)
+        nnz = int(c.nnz)
+        assert nnz == want_nnz, (step, nnz, want_nnz)
+
+        def _bump_step(bump, _cur=cur, _args=(sel_d, starts_d, rc_d, nb,
+                                              ncc, sg, out_cap, narrow)):
+            sel_x, starts_x, rc_x, nb_x, ncc_x, sg_x, cap_x, nar_x = _args
+            cur2 = dataclasses.replace(
+                _cur, col_idx=_cur.col_idx + (bump * 1e-30).astype(jnp.int32))
+            out = slab_mod._numeric(cur2, a, sel_x, starts_x, rc_x,
+                                    slab_mod.DEFAULT_C, slab_mod.DEFAULT_L,
+                                    nb_x, ncc_x, sg_x, cap_x, nar_x)
+            return out.col_idx[0].astype(jnp.float32)
+
+        dt = fused_loop_time(_bump_step, reps=slab_reps, iters=iters)
+        total += dt
+        rec = ChainStep(step=step, nnz=nnz, flops=flops, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9)
+        results.append(rec)
+        if verbose:
+            print(f"A^{step} [slab]: nnz={nnz} flops={flops} "
+                  f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M",
+                  flush=True)
+        cur = c
+
+    if switch_step > max_step:
+        return results, total
+
+    # ---- transition: densify A^(switch-1) into row planes (timed)
+    @jax.jit
+    def densify(m: SparseCSR):
+        return sp.to_row_planes(tuple_to_f32_dense(m))
+
+    p0 = densify(cur)
+    jax.block_until_ready(p0)
+
+    def _dens_step(bump):
+        cur2 = dataclasses.replace(
+            cur, col_idx=cur.col_idx + (bump * 1e-30).astype(jnp.int32))
+        return densify(cur2)[0, 0, 0]
+
+    t_dens = fused_loop_time(_dens_step, reps=slab_reps, iters=iters)
+    total += t_dens
+    if verbose:
+        print(f"densify A^{switch_step-1} [transition]: "
+              f"time={t_dens*1e3:.2f}ms", flush=True)
+
+    # ---- late steps: DMA dense-accumulator, prefix differentials
+    cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
+        a, rows_per_tile=rows_per_tile, nbuf=nbuf)
+
+    @jax.jit
+    def timed_chain(p0_, bump, steps, reps_):
+        def rep(r, carry):
+            acc, _ = carry
+            p = p0_.at[0, 0, 0].add(bump + jnp.float32(r) + acc * 1e-30)
+            p = jax.lax.fori_loop(
+                0, steps,
+                lambda i, q: sp.spmm_pallas(cnt, cols, lrow, vals, q,
+                                            rows_per_tile=rows_per_tile,
+                                            nbuf=nbuf),
+                p)
+            return acc + p[0, 0, 0], p
+
+        return jax.lax.fori_loop(0, reps_, rep, (jnp.float32(0.0), p0_))
+
+    n_late = max_step - switch_step + 1
+    acc, p_final = timed_chain(p0, 0.0, n_late, 1)
+    jax.block_until_ready(acc)
+
+    def _time(steps):
+        acc, _ = timed_chain(p0, 0.0, steps, reps)
+        jax.block_until_ready(acc)
+        best = float("inf")
+        for it in range(iters):
+            t0 = time.perf_counter()
+            acc, _ = timed_chain(p0, float(it + 1), steps, reps)
+            jax.block_until_ready(acc)
+            best = min(best, time.perf_counter() - t0)
+        return best / reps
+
+    prefix = {s: _time(s) for s in range(n_late + 1)}
+    for idx in range(n_late):
+        step = switch_step + idx
+        dt = max(prefix[idx + 1] - prefix[idx], 1e-9)
+        _, nnz, vmax, flops = stats_by_step[step]
+        if vmax >= float(1 << 24) - 8:
+            raise OverflowError("mixed chain exceeds f32 exact range")
+        total += dt
+        rec = ChainStep(step=step, nnz=nnz, flops=flops, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9)
+        results.append(rec)
+        if verbose:
+            print(f"A^{step} [pallas nbuf={nbuf}]: nnz={nnz} flops={flops} "
+                  f"time={dt*1e3:.2f}ms nnz/s={rec.nnz_per_s/1e6:.1f}M",
+                  flush=True)
+    if verbose:
+        print(f"chain total (A^2..A^{max_step}, incl. densify): "
+              f"{total*1e3:.2f}ms  [reference CSR-par total ~102 ms]",
+              flush=True)
+    return results, total
