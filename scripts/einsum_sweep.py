@@ -102,14 +102,25 @@ def build_operand(ix, kind, sr_name, rng):
         dense_op = vals
     if kind == "dense":
         return dense_op, vals
-    if kind == "csr":
-        from sparsetpu.semiring import F32SR
-        sr = U64 if sr_name == "u64" else F32SR
-        return SparseCSR.from_dense_numpy(vals, sr=sr), vals
-    # grouped: leading axis = group
+    # HOST CSR build with FIXED capacity: the device builder's input coo
+    # length is data-dependent (nnz), so every case would be a fresh jit
+    # compile key (measured: 5.6 s/case, all in from_coo compiles)
     from sparsetpu.semiring import F32SR
     sr = U64 if sr_name == "u64" else F32SR
-    return GroupedCSR.from_dense(vals, sr=sr), vals
+    if kind == "csr":
+        r, c = np.nonzero(vals)
+        return SparseCSR.from_coo_host(
+            r, c, vals[r, c], vals.shape[0], n_cols=vals.shape[1], sr=sr,
+            capacity=32), vals
+    # grouped: leading axis = group; block-diagonal flat host build
+    g, nn, mm = vals.shape
+    gb, rb, cb = np.nonzero(vals)
+    flat = SparseCSR.from_coo_host(
+        gb * nn + rb, gb * mm + cb, vals[gb, rb, cb], g * nn,
+        n_cols=g * mm, sr=sr, capacity=64)
+    from sparsetpu.grouped import GroupedCSR as _G
+
+    return _G(flat=flat, g=g, n=nn, m=mm), vals
 
 
 def oracle(inputs, out, dense_vals, sr_name):

@@ -41,14 +41,15 @@ def main():
             out = sp.spmm_pallas(cnt, cols, lrow, vals, p,
                                  rows_per_tile=rpt, nbuf=nbuf)
             jax.block_until_ready(out)
-            from sparsetpu.bench.timing import fused_loop_time
+            from sparsetpu.bench.timing import fused_loop_time_args
 
-            def run(bump):
-                o = sp.spmm_pallas(cnt, cols, lrow, vals + bump * 1e-30, p,
-                                   rows_per_tile=rpt, nbuf=nbuf)
+            def run(bump, cnt_, cols_, lrow_, vals_, p_):
+                o = sp.spmm_pallas(cnt_, cols_, lrow_, vals_ + bump * 1e-30,
+                                   p_, rows_per_tile=rpt, nbuf=nbuf)
                 return o[0, 0, 0]
 
-            dt = fused_loop_time(run, reps=16, iters=2)
+            dt = fused_loop_time_args(run, (cnt, cols, lrow, vals, p),
+                                      reps=8, iters=2)
             tot_entries = int(np.asarray(cnt).sum())
             print(f"{nbuf},{rpt},{dt*1e3:.2f},{dt/tot_entries*1e9:.0f}",
                   flush=True)

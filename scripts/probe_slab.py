@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparsetpu.bench.timing import fused_loop_time
+from sparsetpu.bench.timing import fused_loop_time_args
 from sparsetpu.csr import SparseCSR
 from sparsetpu.graphs import generate, datasets
 from sparsetpu.ops import slab
@@ -62,14 +62,15 @@ def time_slab(a: SparseCSR, b: SparseCSR, reps=8, iters=2,
                        out_cap, narrow)
     c0.check()
 
-    def step(bump):
+    def step(bump, a_, b_, sel_, starts_, rc_):
         a2 = dataclasses.replace(
-            a, col_idx=a.col_idx + (bump * 1e-30).astype(jnp.int32))
-        out = slab._numeric(a2, b, sel_d, starts_d, rc_d, C, L, nb, ncc,
+            a_, col_idx=a_.col_idx + (bump * 1e-30).astype(jnp.int32))
+        out = slab._numeric(a2, b_, sel_, starts_, rc_, C, L, nb, ncc,
                             sg, out_cap, narrow)
         return out.col_idx[0].astype(jnp.float32)
 
-    dt = fused_loop_time(step, reps=reps, iters=iters)
+    dt = fused_loop_time_args(step, (a, b, sel_d, starts_d, rc_d),
+                              reps=reps, iters=iters)
     return dt, flops, int(c0.nnz), nb
 
 
@@ -124,9 +125,53 @@ def chain():
         cur.check()
 
 
+def graph_algos():
+    """Dense-pattern route timings (VERDICT ask #3): cora-substitute and
+    27k-torus diameter / closure end-to-end wall (incl. conversions), plus
+    the raw fused squaring rate at n=27000 (int8 MXU)."""
+    from sparsetpu.bench.real_graphs import load_or_synthesize
+    from sparsetpu.graphs import algos, patterns
+
+    name, coo = load_or_synthesize("cora", 2708, 10556)
+    r, c, v, n = coo
+    a = SparseCSR.from_coo_host(r, c, v, n, sr=U64)
+    t0 = time.time()
+    d = algos.diameter(a, dense="always")
+    emit(f"algos,{name},diameter_dense,{time.time()-t0:.2f}s,d={d}")
+    t0 = time.time()
+    comp = algos.connected_components_closure(a, dense="always")
+    emit(f"algos,{name},components_closure_dense,{time.time()-t0:.2f}s,"
+         f"k={int(comp.max())+1}")
+    t0 = time.time()
+    s, k = algos.reachability_sum(a, pattern=True, dense="always")
+    emit(f"algos,{name},reachability_dense,{time.time()-t0:.2f}s,"
+         f"k={k},nnz={int(s.nnz)}")
+
+    from sparsetpu.bench.chain import build_torus_host
+
+    host = build_torus_host()
+    at = host.to_device()
+    t0 = time.time()
+    d = algos.diameter(at, dense="always")
+    emit(f"algos,torus27k,diameter_dense,{time.time()-t0:.2f}s,d={d}")
+
+    # raw squaring rate at n=27000 (int8 -> int32 MXU), x0 as jit ARG
+    x0 = patterns.from_csr(at)
+    jax.block_until_ready(x0)
+
+    def sq(bump, x):
+        y = x.at[0, 0].set((bump.astype(jnp.int32) & 1).astype(jnp.int8))
+        return jnp.sum(
+            patterns.matmul(y, y)[0].astype(jnp.int32)).astype(jnp.float32)
+
+    dt = fused_loop_time_args(sq, (x0,), reps=2, iters=2)
+    emit(f"algos,torus27k,patmm_single_squaring,{dt*1e3:.2f}ms,-")
+
+
 def main():
     emit(f"# probe_slab start {time.strftime('%H:%M:%S')} "
          f"backend={jax.default_backend()}")
+    graph_algos()
     cells()
     chain()
     emit("# probe_slab done")

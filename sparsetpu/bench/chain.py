@@ -661,7 +661,7 @@ def run_chain_mixed(
     from ..kernels import spmm_pallas as sp
     from ..ops import slab as slab_mod
     from ..ops.spgemm import narrow_u64_ok
-    from .timing import fused_loop_time
+    from .timing import fused_loop_time_args
 
     assert 2 < switch_step <= max_step + 1
     stats_by_step = {s[0]: s for s in native_stats}
@@ -691,17 +691,19 @@ def run_chain_mixed(
         nnz = int(c.nnz)
         assert nnz == want_nnz, (step, nnz, want_nnz)
 
-        def _bump_step(bump, _cur=cur, _args=(sel_d, starts_d, rc_d, nb,
-                                              ncc, sg, out_cap, narrow)):
-            sel_x, starts_x, rc_x, nb_x, ncc_x, sg_x, cap_x, nar_x = _args
+        def _bump_step(bump, cur_, a_, sel_x, starts_x, rc_x,
+                       _st=(nb, ncc, sg, out_cap, narrow)):
+            nb_x, ncc_x, sg_x, cap_x, nar_x = _st
             cur2 = dataclasses.replace(
-                _cur, col_idx=_cur.col_idx + (bump * 1e-30).astype(jnp.int32))
-            out = slab_mod._numeric(cur2, a, sel_x, starts_x, rc_x,
+                cur_, col_idx=cur_.col_idx + (bump * 1e-30).astype(jnp.int32))
+            out = slab_mod._numeric(cur2, a_, sel_x, starts_x, rc_x,
                                     slab_mod.DEFAULT_C, slab_mod.DEFAULT_L,
                                     nb_x, ncc_x, sg_x, cap_x, nar_x)
             return out.col_idx[0].astype(jnp.float32)
 
-        dt = fused_loop_time(_bump_step, reps=slab_reps, iters=iters)
+        dt = fused_loop_time_args(
+            _bump_step, (cur, a, sel_d, starts_d, rc_d),
+            reps=slab_reps, iters=iters)
         total += dt
         rec = ChainStep(step=step, nnz=nnz, flops=flops, seconds=dt,
                         nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9)
@@ -723,12 +725,13 @@ def run_chain_mixed(
     p0 = densify(cur)
     jax.block_until_ready(p0)
 
-    def _dens_step(bump):
+    def _dens_step(bump, cur_):
         cur2 = dataclasses.replace(
-            cur, col_idx=cur.col_idx + (bump * 1e-30).astype(jnp.int32))
+            cur_, col_idx=cur_.col_idx + (bump * 1e-30).astype(jnp.int32))
         return densify(cur2)[0, 0, 0]
 
-    t_dens = fused_loop_time(_dens_step, reps=slab_reps, iters=iters)
+    t_dens = fused_loop_time_args(_dens_step, (cur,), reps=slab_reps,
+                                  iters=iters)
     total += t_dens
     if verbose:
         print(f"densify A^{switch_step-1} [transition]: "

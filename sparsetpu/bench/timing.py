@@ -46,3 +46,31 @@ def fused_loop_time(make_step: Callable, reps: int = 16, iters: int = 3) -> floa
         float(run(jnp.float32((it + 1) * reps)))
         best = min(best, time.perf_counter() - t0)
     return best / reps
+
+
+def fused_loop_time_args(make_step: Callable, args, reps: int = 16,
+                         iters: int = 3) -> float:
+    """fused_loop_time with the operand arrays passed as JIT ARGUMENTS.
+
+    Arrays closed over by a jitted function are embedded as CONSTANTS in
+    the serialized program — on the remote-compile tunnel a closed-over
+    multi-GB operand breaks the request (HTTP 413 / broken transport;
+    measured, scripts/probe_r5.py chain_tune/patmm).  ``make_step(bump,
+    *args)`` receives the same pytrees passed here as real parameters.
+    """
+
+    @jax.jit
+    def run(bump0, *xs):
+        def body(i, acc):
+            probe = make_step(bump0 + i.astype(jnp.float32), *xs)
+            return acc + probe
+
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    float(run(jnp.float32(0.0), *args))  # compile + warm
+    best = float("inf")
+    for it in range(iters):
+        t0 = time.perf_counter()
+        float(run(jnp.float32((it + 1) * reps), *args))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps

@@ -20,6 +20,14 @@ measured correct + ~us-scale in scripts/probe_r5.py (coalesce section).
 The kernel also emits each position's source BLOCK id, from which callers
 reconstruct global rows (block-local sort keys avoid the int32 overflow of
 r*m+j at n*m > 2^31 — the latent escb key-wrap hazard at nell/ogbn scale).
+
+STATUS: correct + ~us-scale in interpret mode, but Mosaic REJECTS the
+real-TPU compile (scripts/probe_r5.py coalesce: tpu_compile_helper exit 1
+— 1-D HBM DMAs at arbitrary element offsets appear unsupported).  The
+production compaction in ops/slab.py therefore uses the arithmetic-gather
+form (repeat_index block map + one packed row-gather, ~3.4 ns/index);
+this kernel is kept as the recorded experiment and the interpret-mode
+tests pin its semantics should a future Mosaic accept it.
 """
 
 from __future__ import annotations

@@ -24,9 +24,9 @@ restructures every per-product pass into per-ENTRY or per-CHUNK work:
      module retires) — then the native-plane segmented saturating merge
      (segments.segment_reduce_sorted).
   4. *pack + assemble*: a second batched sort brings survivors to block
-     fronts in final order; the Pallas prefix-coalesce
-     (kernels/coalesce.py) concatenates the prefixes with nb overlapping
-     DMA copies — replacing the output-sized gather compaction.
+     fronts in final order; compaction is then ARITHMETIC — block-of-
+     position from one scatter+cummax, every payload through ONE packed
+     row-gather — replacing escb's index scatter + K output gathers.
      row_ptr comes from one searchsorted over the (ascending) row stream.
 
 Rows are bin-packed in NATURAL ORDER (next-fit; rows never straddle
@@ -252,24 +252,32 @@ def _numeric(a: SparseCSR, b: SparseCSR, sel_rows: jnp.ndarray,
     )
     nnz = offs[-1]
 
-    # ---- Pallas prefix-coalesce (gather-free compaction)
-    from ..kernels.coalesce import coalesce_blocks
-
-    outs = coalesce_blocks(
-        offs[:-1], [pr_s, pc_s, *ptotals], out_cap)
-    orow0, ocol, ovals = outs[0], outs[1], outs[2:-1]
+    # ---- prefix-coalesce compaction, arithmetic-gather form: survivors
+    # sit at block FRONTS after the pack sort, so output position t maps
+    # to source (block, t - offs[block]) — block-of-t comes from one tiny
+    # scatter + cummax (repeat_index), and ALL payload arrays ride ONE
+    # packed row-gather (~3.4 ns/index measured) instead of K 1-D gathers
+    # or the stream-sized index scatter (segments.compact's cost).
+    # (A Pallas overlapping-DMA version measured ~us-scale in interpret
+    # mode but fails Mosaic compile on 1-D dynamic HBM offsets —
+    # kernels/coalesce.py stays as the recorded experiment.)
     t = jnp.arange(out_cap, dtype=jnp.int32)
+    bid = jnp.clip(
+        segments.repeat_index(offs[:-1], jnp.arange(nb, dtype=jnp.int32),
+                              out_cap),
+        0, nb - 1)
+    src = jnp.clip(bid * l + (t - offs[bid]), 0, nb * l - 1)
+    packed = jnp.stack(
+        [pr_s.reshape(nb * l), pc_s.reshape(nb * l)]
+        + [b32(x).reshape(nb * l) for x in ptotals], axis=1)
+    g_out = jnp.take(packed, src, axis=0, mode="clip")
     in_range = t < jnp.minimum(nnz, out_cap)
-    orow = jnp.where(in_range, orow0, jnp.int32(n))
-    col_idx = jnp.where(in_range, ocol, INT32_SENTINEL)
-    if narrow:
-        vals = tuple(jnp.where(in_range, x.astype(jnp.uint32), 0)
-                     for x in ovals)
-    else:
-        vals = tuple(
-            jnp.where(in_range, x.astype(limb_ref.dtype),
-                      jnp.zeros((), limb_ref.dtype))
-            for x, limb_ref in zip(ovals, totals))
+    orow = jnp.where(in_range, g_out[:, 0], jnp.int32(n))
+    col_idx = jnp.where(in_range, g_out[:, 1], INT32_SENTINEL)
+    vals = tuple(
+        jnp.where(in_range, unb32(g_out[:, 2 + k], limb_ref),
+                  jnp.zeros((), limb_ref.dtype))
+        for k, limb_ref in enumerate(totals))
     row_ptr = jnp.searchsorted(
         orow, jnp.arange(n + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
