@@ -301,6 +301,13 @@ def spgemm_slab(a: SparseCSR, b: SparseCSR,
     from .escb import merge_disjoint_rows
 
     narrow = a.sr_name == "u64" and narrow_u64_ok(a, b)
+    if int(jax.device_get(a.nnz)) < 0 or int(jax.device_get(b.nnz)) < 0:
+        # poisoned input: propagate (the empty-plan path below would
+        # otherwise launder a poisoned operand into a clean empty result)
+        import dataclasses
+
+        out = SparseCSR.empty(a.n_rows, b.n_cols, max(out_cap or 1, 1), a.sr)
+        return dataclasses.replace(out, nnz=jnp.asarray(-1, jnp.int32))
     rc_dev, nch_total, sg_dev = plan_device(a, b, C)
     rc = np.asarray(jax.device_get(rc_dev)).astype(np.int64)
     ncc = max(int(jax.device_get(nch_total)), 1)

@@ -191,3 +191,16 @@ def test_slab_matches_escb():
     c2 = spgemm_blocked(a, a)
     assert int(c1.nnz) == int(c2.nnz)
     assert np.array_equal(c1.to_dense_numpy(), c2.to_dense_numpy())
+
+
+def test_slab_poison_propagates():
+    import dataclasses
+    import jax.numpy as jnp
+
+    rows, cols, vals, n = generate.random_graph(50, 200, seed=6)
+    a = SparseCSR.from_coo_host(rows, cols, vals, n, sr=U64)
+    bad = dataclasses.replace(a, nnz=jnp.asarray(-1, jnp.int32))
+    out = spgemm_slab(bad, a)
+    assert int(out.nnz) == -1
+    out2 = spgemm_slab(a, bad)
+    assert int(out2.nnz) == -1
