@@ -287,10 +287,19 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
             if fits:
                 kernel = "denseacc"
-            elif dense_acc_panel_cols(a.n_rows):
-                kernel = "denseacc_tiled"
             else:
-                kernel = "rowcat"
+                # large-n: tiled dense accumulator sweeps the FULL n x m
+                # frame in column panels (cost ~ n*m*4.3 ns measured on
+                # ogbn/nell, independent of sparsity); the column-chunked
+                # slab (MAGNUS role) costs ~90 ns/product.  Route by the
+                # measured constants: scattered products at large n go to
+                # colchunk, product counts comparable to the dense frame
+                # stay on the panel sweep.
+                w = dense_acc_panel_cols(a.n_rows)
+                t_tiled = (a.n_rows * padded_cols * 4.3e-9
+                           if w else float("inf"))
+                t_cc = flops * 90e-9
+                kernel = "colchunk" if t_cc < t_tiled else "denseacc_tiled"
     if flops >= 1 << 31 and kernel in ("esc", "rowcat"):
         # only the sort paths materialize the expansion; dense-accumulator
         # cost is independent of the product count (its own capacity guard
@@ -316,6 +325,21 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             from .rowcat import spgemm_rowcat
 
             return spgemm_rowcat(a, b).check()
+    if kernel == "colchunk":
+        from .colchunk import spgemm_colchunk
+
+        try:
+            return spgemm_colchunk(a, b).check()
+        except ValueError:
+            # a hub row expands past the wide program in some chunk (or a
+            # chunk poisoned) — fall back to the panel sweep when it fits,
+            # else the row-categorized kernel
+            if dense_acc_panel_cols(a.n_rows):
+                from .denseacc import spgemm_dense_acc_tiled
+
+                w = dense_acc_panel_cols(a.n_rows)
+                return spgemm_dense_acc_tiled(a, b, panel_cols=w).check()
+            kernel = "rowcat"
     if kernel == "rowcat":
         from .rowcat import spgemm_rowcat
 
