@@ -21,8 +21,15 @@ the CI sweep, VERDICT r4 ask #5).  Engine errors other than InvalidSpec
 ("Unsupported" = accepted fallback boundary, as JitError::Unsupported is
 in the reference) count as mismatches.
 
-Run:  JAX_PLATFORMS=cpu python scripts/einsum_sweep.py --cases 120000
+Run:  python scripts/einsum_sweep.py --cases 120000
 Artifact: reports/einsum_sweep_r5.txt (progress lines + final tally).
+
+The sweep runs on the HOST CPU backend: the axon sitecustomize pre-imports
+jax with jax_platforms=axon,cpu (so the JAX_PLATFORMS env var is ignored),
+and on the chip every case would contend with the TPU benches for the one
+device.  Forcing cpu via jax.config (same move as tests/conftest.py) keeps
+the sweep off the chip, and the persistent compile cache amortizes the
+per-(spec,kinds,shape) XLA:CPU compiles across restarts.
 """
 
 import argparse
@@ -31,6 +38,13 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 
@@ -203,6 +217,11 @@ def main():
     ap.add_argument("--cases", type=int, default=120000)
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--out", default="reports/einsum_sweep_r5.txt")
+    ap.add_argument("--start", type=int, default=0,
+                    help="resume offset: skip the first N cases (the case "
+                    "order is deterministic — fixed generator seed — so a "
+                    "killed run resumes where its last progress line left "
+                    "off)")
     args = ap.parse_args()
 
     specs = gen_specs()
@@ -228,11 +247,24 @@ def main():
 
     emit(f"# einsum differential sweep r5: {len(cases)} cases over "
          f"{len(specs)} enumerable specs, dims {DIMS}, "
-         f"start {time.strftime('%H:%M:%S')}")
+         f"start {time.strftime('%H:%M:%S')}"
+         + (f", resuming at case {args.start}" if args.start else ""))
     t0 = time.time()
     n_ok = n_unsup = 0
     mismatches = []
     for i, (inputs, out, kinds, sr_name, seed) in enumerate(cases):
+        if i < args.start:
+            continue
+        if (i + 1) % 1000 == 0:
+            # every case is a fresh (spec, kinds) compile key, and holding
+            # tens of thousands of live XLA:CPU executables exhausts LLVM
+            # JIT code memory (measured: "Cannot allocate memory" at ~8k
+            # cases).  Dropping the in-process caches bounds live
+            # executables; the persistent disk cache makes re-JITs cheap.
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
         r = run_case(inputs, out, kinds, sr_name, seed)
         if r == "ok":
             n_ok += 1
@@ -243,9 +275,10 @@ def main():
             emit(r)
         if (i + 1) % 2000 == 0:
             dt = time.time() - t0
+            done = i + 1 - args.start
             emit(f"progress {i+1}/{len(cases)} ok={n_ok} "
                  f"unsupported={n_unsup} mismatches={len(mismatches)} "
-                 f"{dt:.0f}s ({(i+1)/dt:.1f} cases/s)")
+                 f"{dt:.0f}s ({done/dt:.1f} cases/s)")
     emit(f"DONE cases={len(cases)} ok={n_ok} unsupported={n_unsup} "
          f"mismatches={len(mismatches)} wall={time.time()-t0:.0f}s")
     if mismatches:

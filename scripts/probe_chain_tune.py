@@ -29,17 +29,32 @@ def main():
     r, c, v, n = coo
     a = SparseCSR.from_coo_host(r, c, v, n)
     nnz = int(a.nnz)
-    rng = np.random.default_rng(0)
-    dense = rng.integers(0, 1000, (n, n)).astype(np.float32)
+    # P built ON DEVICE: a host-built (n, n) f32 is a multi-GB device_put
+    # through the remote tunnel (measured: tens of minutes at 30^3)
+    s_planes = sp._round_up(sp._round_up(n, 128) // 128, 8)
+
+    @jax.jit
+    def make_p():
+        key = jax.random.PRNGKey(0)
+        u = jax.random.randint(key, (n, s_planes, 128), 0, 1000,
+                               dtype=jnp.int32)
+        return u.astype(jnp.float32)
+
+    p = make_p()
+    jax.block_until_ready(p)
     print(f"# n={n} nnz={nnz}", flush=True)
     print("nbuf,rpt,step_ms,ns_per_entry", flush=True)
-    for nbuf in (4, 8, 16):
-        for rpt in (8, 16):
+    for nbuf in (8, 16, 32):
+        for rpt in (40, 72):  # rpt=120's 13 MB out tile blows the 16 MB
+            # scoped-vmem limit; 72 (7.9 MB + ring) is the safe ceiling
             cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
                 a, rows_per_tile=rpt, nbuf=nbuf)
-            p = sp.to_row_planes(jnp.asarray(dense))
-            out = sp.spmm_pallas(cnt, cols, lrow, vals, p,
-                                 rows_per_tile=rpt, nbuf=nbuf)
+            try:
+                out = sp.spmm_pallas(cnt, cols, lrow, vals, p,
+                                     rows_per_tile=rpt, nbuf=nbuf)
+            except Exception as e:
+                print(f"{nbuf},{rpt},DNF,{type(e).__name__}", flush=True)
+                continue
             jax.block_until_ready(out)
             from sparsetpu.bench.timing import fused_loop_time_args
 

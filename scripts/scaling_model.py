@@ -50,16 +50,20 @@ ND = 8
 ICI_BW = 4.5e10          # B/s one-way per link (v5e, conservative)
 IMBALANCE = 1.07         # measured max/mean shard work (scaling_virtual8)
 
-# measured single-chip chain-step times (seconds) on the v5e, round 5:
-# filled from bench_out/probe_slab.csv / the chain bench; used as T_1chip.
-# (step k: nnz_out, flops, t_1chip_seconds, kernel)
+# measured single-chip chain-step times (seconds) on the v5e, round 5
+# (bench_out/probe_slab.csv "chain" rows): the SLAB sort-path kernel —
+# the same expand/sort algorithm family the ring-panel shard distributes,
+# so T_1chip/T_shard compare like with like.  (The single-chip HEADLINE
+# uses the dense-accumulator DMA kernel, which shards by the same row
+# partition but does not ring-exchange panels; its model would be
+# trivially compute-bound at the same imbalance.)
 MEASURED = {
-    2: (248957, 314066, None, "slab"),
-    3: (645695, 938569, None, "slab"),
-    4: (1544375, 2452943, None, "slab"),
-    5: (3310002, 5752273, None, "slab"),
-    6: (6448685, 12130476, None, "dma"),
-    7: (11493935, 23197725, None, "dma"),
+    2: (248957, 314066, 0.03915, "slab"),
+    3: (645695, 938569, 0.10998, "slab"),
+    4: (1544375, 2452943, 0.30342, "slab"),
+    5: (3310002, 5752273, 0.93555, "slab"),
+    6: (6448685, 12130476, 1.92900, "slab"),
+    7: (11493935, 23197725, 4.28974, "slab"),
 }
 
 

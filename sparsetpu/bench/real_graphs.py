@@ -143,10 +143,18 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
     prev = a
     for step in range(2, max_power + 1):
         flops = symbolic_flops_exact(a, prev)
+        padded_m = -(-n // 1024) * 1024
+        t_tiled_est = (n * padded_m * 4.3e-9 if panel_w else float("inf"))
         if flops <= SORT_MAX_FLOPS:
             algo = "slab"
         elif dense_fits:
             algo = "denseacc"
+        elif flops * 90e-9 < t_tiled_est and flops < (1 << 31):
+            # large-n scattered: the column-chunked slab (MAGNUS role)
+            # costs ~90 ns/product where the tiled panel sweep pays the
+            # full n x m frame regardless of sparsity (measured: ogbn A^2
+            # 15.7 s colchunk vs 125.7 s tiled, bench_out/probe_colchunk.csv)
+            algo = "colchunk"
         elif panel_w and 2 * nnz_a * n_panels <= MAX_DMA_ISSUES:
             algo = "denseacc_tiled"
         else:

@@ -44,16 +44,35 @@ def fits(n: int) -> bool:
     return n <= MAX_PATTERN_N
 
 
-def from_csr(a: SparseCSR) -> jnp.ndarray:
-    """CSR -> dense int8 pattern frame (entries present -> 1)."""
+def bucket(n: int) -> int:
+    """Frame side for node count n: the next power of two (min 512).
+
+    Every driver pads its frame to the bucket, so ONE compiled while-loop
+    program serves every graph in the bucket — remote-tunnel compiles cost
+    60-300 s each on this rig, and round 4's per-graph shapes paid that
+    for every (algorithm, n) pair (cora diameter first-call: 1147 s of
+    which <1 s was MXU work).  Pad rows/cols are structurally zero; the
+    closure drivers add self-loops on them, which leaves every nnz
+    comparison offset by a constant and all real entries untouched."""
+    return max(512, 1 << (max(int(n), 1) - 1).bit_length())
+
+
+def from_csr(a: SparseCSR, pad_to: Optional[int] = None) -> jnp.ndarray:
+    """CSR -> dense int8 pattern frame (entries present -> 1).
+
+    ``pad_to``: emit a (pad_to, pad_to) frame with the pattern in the
+    top-left corner (compile-bucket padding; requires square-ish use —
+    pad_to >= max(n, m))."""
     n, m = a.shape
+    np_, mp_ = (pad_to, pad_to) if pad_to else (n, m)
+    assert np_ >= n and mp_ >= m, (a.shape, pad_to)
     valid = jnp.arange(a.capacity) < a.nnz
     r = jnp.clip(a.row_of_slot(), 0, n - 1)
     c = jnp.clip(a.col_idx, 0, m - 1)
-    flat = jnp.where(valid, r * jnp.int32(m) + c, n * m)
-    frame = jnp.zeros((n * m,), jnp.int8).at[flat].set(
+    flat = jnp.where(valid, r * jnp.int32(mp_) + c, np_ * mp_)
+    frame = jnp.zeros((np_ * mp_,), jnp.int8).at[flat].set(
         jnp.int8(1), mode="drop")
-    return frame.reshape(n, m)
+    return frame.reshape(np_, mp_)
 
 
 def to_csr(x: jnp.ndarray, sr: Semiring,
@@ -155,28 +174,39 @@ def refine_while(reach: jnp.ndarray, base: jnp.ndarray,
     return d
 
 
-def diameter(a: SparseCSR, max_iters: int = 64) -> int:
-    """Diameter via dense-pattern squaring + linear refinement — the dense
-    fast path of algos.diameter (identical answer, one dispatch per
-    phase)."""
-    base = add_identity(from_csr(a))
+@partial(jax.jit, static_argnames=("max_iters", "max_steps"))
+def _diameter_while(base: jnp.ndarray, max_iters: int = 64,
+                    max_steps: int = 4096) -> jnp.ndarray:
+    """Fused diameter program: squaring fixed point + linear refinement in
+    ONE compiled dispatch (the jitted sub-loops inline).  Refinement walks
+    from the last provably-non-full power; when the graph is complete
+    (base itself full) start==base and d stays 1."""
     closure, start, k, start_len = closure_while(base, max_iters=max_iters)
     target = nnz(closure)
-    # refinement walks from the last provably-non-full power; when the
-    # graph is complete (base itself full) start==base and d stays 1
-    d = refine_while(start, base, target, start_len)
-    return int(jax.device_get(d))
+    return refine_while(start, base, target, start_len,
+                        max_steps=max_steps)
+
+
+def diameter(a: SparseCSR, max_iters: int = 64) -> int:
+    """Diameter via dense-pattern squaring + linear refinement — the dense
+    fast path of algos.diameter (identical answer, one fused dispatch,
+    one compile per frame bucket)."""
+    base = add_identity(from_csr(a, pad_to=bucket(a.n_rows)))
+    return int(jax.device_get(_diameter_while(base, max_iters=max_iters)))
 
 
 def power_until_stable(a: SparseCSR, max_iters: int = 64
                        ) -> Tuple[SparseCSR, int]:
     """Dense-pattern analog of algos.power_until_stable(pattern=True):
-    same (fixed-point matrix, squaring count) with all values one."""
-    x0 = from_csr(a)
+    same (fixed-point matrix, squaring count) with all values one.
+    Pad rows are structurally zero and stay zero through squaring."""
+    n, m = a.shape
+    x0 = from_csr(a, pad_to=bucket(a.n_rows))
     closure, _, k, _ = closure_while(x0, max_iters=max_iters)
     k_i = int(jax.device_get(k))
     if k_i >= max_iters:
         raise RuntimeError("power_until_stable did not converge")
+    closure = closure[:n, :m]
     cap = 1 << (max(int(jax.device_get(nnz(closure))), 1) - 1).bit_length()
     return to_csr(closure, a.sr, capacity=cap), k_i
 
@@ -184,10 +214,13 @@ def power_until_stable(a: SparseCSR, max_iters: int = 64
 def reachability_sum(a: SparseCSR, max_iters: int = 64
                      ) -> Tuple[SparseCSR, int]:
     """Dense-pattern analog of algos.reachability_sum(pattern=True)."""
-    total, k = reachability_while(from_csr(a), max_iters=max_iters)
+    n, m = a.shape
+    total, k = reachability_while(from_csr(a, pad_to=bucket(a.n_rows)),
+                                  max_iters=max_iters)
     k_i = int(jax.device_get(k))
     if k_i >= max_iters:
         raise RuntimeError("reachability did not converge")
+    total = total[:n, :m]
     cap = 1 << (max(int(jax.device_get(nnz(total))), 1) - 1).bit_length()
     return to_csr(total, a.sr, capacity=cap), k_i
 
@@ -204,9 +237,10 @@ def _mutual_reps(closure: jnp.ndarray) -> jnp.ndarray:
 def connected_components_closure(a: SparseCSR) -> np.ndarray:
     """Components via dense transitive closure: (A|I) squared to fixed
     point, mutual reachability = same component (reference
-    src/graph_csr.rs:578-600), labels sequential by first appearance."""
-    base = add_identity(from_csr(a))
+    src/graph_csr.rs:578-600), labels sequential by first appearance.
+    Pad rows carry only their self-loop; their reps are sliced away."""
+    base = add_identity(from_csr(a, pad_to=bucket(a.n_rows)))
     closure, _, k, _ = closure_while(base)
-    rep = np.asarray(jax.device_get(_mutual_reps(closure)))
+    rep = np.asarray(jax.device_get(_mutual_reps(closure)))[: a.n_rows]
     _, inv = np.unique(rep, return_inverse=True)
     return inv.astype(np.int64)

@@ -267,15 +267,31 @@ def _numeric(a: SparseCSR, b: SparseCSR, sel_rows: jnp.ndarray,
                               out_cap),
         0, nb - 1)
     src = jnp.clip(bid * l + (t - offs[bid]), 0, nb * l - 1)
-    packed = jnp.stack(
-        [pr_s.reshape(nb * l), pc_s.reshape(nb * l)]
-        + [b32(x).reshape(nb * l) for x in ptotals], axis=1)
-    g_out = jnp.take(packed, src, axis=0, mode="clip")
+    if out_cap <= (1 << 21):
+        # packed row-gather: ONE gather serves every payload (~3.4
+        # ns/index measured) — but a 2-D s32 array tiles T(8,128), so the
+        # k-wide minor dim pads to 128 lanes (32x memory).  Affordable
+        # only below ~1 GB of padded temp (BOTH the stacked source and
+        # the gather output pad; at ogbn scale the pair was 33 GB and
+        # OOM'd the chip)
+        packed = jnp.stack(
+            [pr_s.reshape(nb * l), pc_s.reshape(nb * l)]
+            + [b32(x).reshape(nb * l) for x in ptotals], axis=1)
+        g_out = jnp.take(packed, src, axis=0, mode="clip")
+        cols_out = [g_out[:, j] for j in range(2 + len(ptotals))]
+    else:
+        # large out_cap: per-payload 1-D gathers keep every array in the
+        # unpadded T(1024) layout (k gathers at ~10 ns/element beat one
+        # padded gather that cannot be allocated)
+        cols_out = [jnp.take(x.reshape(nb * l), src, mode="clip")
+                    for x in (pr_s, pc_s)]
+        cols_out += [jnp.take(b32(x).reshape(nb * l), src, mode="clip")
+                     for x in ptotals]
     in_range = t < jnp.minimum(nnz, out_cap)
-    orow = jnp.where(in_range, g_out[:, 0], jnp.int32(n))
-    col_idx = jnp.where(in_range, g_out[:, 1], INT32_SENTINEL)
+    orow = jnp.where(in_range, cols_out[0], jnp.int32(n))
+    col_idx = jnp.where(in_range, cols_out[1], INT32_SENTINEL)
     vals = tuple(
-        jnp.where(in_range, unb32(g_out[:, 2 + k], limb_ref),
+        jnp.where(in_range, unb32(cols_out[2 + k], limb_ref),
                   jnp.zeros((), limb_ref.dtype))
         for k, limb_ref in enumerate(totals))
     row_ptr = jnp.searchsorted(

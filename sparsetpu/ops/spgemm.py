@@ -232,7 +232,7 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
     or outputs >= 2^24) poison on device and fall back to the sort paths.
 
     ``kernel`` forces a path: "esc" | "rowcat" | "denseacc" | "densedense"
-    | "auto"."""
+    | "colchunk" | "slab" | "escb" | "auto"."""
     flops = symbolic_flops_exact(a, b)
     if kernel == "auto":
         from .denseacc import densedense_fits
@@ -276,30 +276,36 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
                         # models the f32 tier) — degrade to sort paths
                         if "RESOURCE_EXHAUSTED" not in str(e):
                             raise
-        if flops <= (1 << 21):
+        if flops <= (1 << 19):
+            # small products: the monolithic ESC's ~2 ms dispatch beats
+            # the slab's plan+pack overhead (measured: er-27000x2 esc
+            # 13.2 ms vs slab 21.8 ms; er-8000x8 is a tie at the boundary)
             kernel = "esc"
         else:
-            # dense-accumulator routes cover every semiring: u64/u32 ride
-            # an f32 carrier (exact below 2^24, checked on device), f32 is
-            # plain float math (round-3's u64-only guard was an oversight —
-            # the f32 case needs no limb recombination at all)
+            # mid/large products: route by measured per-route constants
+            # (round-5 sweep, bench_out/probe_slab.csv +
+            # bench_out/probe_colchunk.csv + spgemm_sweep_full.csv):
+            #   colchunk (slab when one chunk): ~90 ns/product at n<=32k,
+            #     any n via column chunking; wins every measured cell
+            #     >= 2^19 products that densedense didn't take
+            #     (27000x8: 133 ms vs esc 248 / denseacc 6781;
+            #      27000x32: 2.58 s vs denseacc 10.7, esc DNF)
+            #   denseacc: flat ~9 ns per n x m frame element
+            #     (6.7 s at n=27000), independent of the product count
+            #   denseacc_tiled: ~4.3 ns/element at n >= ~65k (ogbn
+            #     measured); the only route past per-chunk budgets
             padded_cols = -(-b.n_cols // 1024) * 1024
             fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
-            if fits:
-                kernel = "denseacc"
-            else:
-                # large-n: tiled dense accumulator sweeps the FULL n x m
-                # frame in column panels (cost ~ n*m*4.3 ns measured on
-                # ogbn/nell, independent of sparsity); the column-chunked
-                # slab (MAGNUS role) costs ~90 ns/product.  Route by the
-                # measured constants: scattered products at large n go to
-                # colchunk, product counts comparable to the dense frame
-                # stay on the panel sweep.
-                w = dense_acc_panel_cols(a.n_rows)
-                t_tiled = (a.n_rows * padded_cols * 4.3e-9
-                           if w else float("inf"))
-                t_cc = flops * 90e-9
-                kernel = "colchunk" if t_cc < t_tiled else "denseacc_tiled"
+            w = dense_acc_panel_cols(a.n_rows)
+            t_cc = 5e-3 + flops * 90e-9
+            t_dacc = (a.n_rows * padded_cols * 9e-9 if fits
+                      else float("inf"))
+            t_tiled = (a.n_rows * padded_cols * 4.3e-9
+                       if (w and not fits) else float("inf"))
+            kernel = "colchunk"
+            if min(t_dacc, t_tiled) < t_cc:
+                kernel = "denseacc" if t_dacc <= t_tiled else \
+                    "denseacc_tiled"
     if flops >= 1 << 31 and kernel in ("esc", "rowcat"):
         # only the sort paths materialize the expansion; dense-accumulator
         # cost is independent of the product count (its own capacity guard
