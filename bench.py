@@ -98,7 +98,7 @@ def main():
                              "(earlier steps ride slab ESC)")
     parser.add_argument("--algo",
                         choices=["auto", "pallas", "dense", "band", "esc",
-                                 "rowcat", "escb", "mixed"],
+                                 "rowcat", "escb", "mixed", "foldband"],
                         default="auto",
                         help="auto = self-route via ops.hybrid.choose_strategy "
                              "(the MagnusConfig role); pallas = DMA-ring "
@@ -110,7 +110,8 @@ def main():
     args = parser.parse_args()
 
     dims = (12, 12, 12) if args.quick else (30, 30, 30)
-    verify = args.algo in ("auto", "pallas", "mixed") and not args.no_verify
+    verify = (args.algo in ("auto", "pallas", "mixed", "foldband")
+              and not args.no_verify)
 
     # ---- phase 0: host build + native oracle in a thread (pure numpy/C++,
     # no jax) overlapped with the TPU pool claim on the main thread
@@ -188,6 +189,19 @@ def main():
                                    reps=reps, keep_final=keep_final,
                                    native_stats=host_out.get("native_stats"),
                                    kernel=args.pallas_kernel)
+    elif args.algo == "foldband":
+        from sparsetpu.bench.chain import run_chain_foldband
+
+        assert host_out.get("native_stats"), "foldband chain needs the oracle"
+        rpt = args.rows_per_tile
+        if a.n_rows % rpt:
+            rpt = next(r for r in (24, 8, 4, 2, 1) if a.n_rows % r == 0)
+        results, chain_total = run_chain_foldband(
+            a, host_out["native_stats"], max_step=args.steps,
+            iters=args.iters, reps=reps,
+            rows_per_tile=rpt, nbuf=args.nbuf,
+            dims=dims)
+        log(f"fold-band chain total: {chain_total*1e3:.2f}ms")
     elif args.algo == "mixed":
         from sparsetpu.bench.chain import run_chain_mixed
 

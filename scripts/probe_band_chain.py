@@ -35,7 +35,7 @@ def main():
     emit(f"# probe_band_chain start {time.strftime('%H:%M:%S')} "
          f"backend={jax.default_backend()}")
     host = build_torus_host()
-    stats = native_chain_stats_host(
+    stats, _final = native_chain_stats_host(
         host.row_ptr, host.col_idx, host.vals_u64(), host.n, max_step=7)
     a = host.to_device()
     jax.block_until_ready(a.col_idx)

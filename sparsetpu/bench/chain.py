@@ -791,3 +791,95 @@ def run_chain_mixed(
               f"{total*1e3:.2f}ms  [reference CSR-par total ~102 ms]",
               flush=True)
     return results, total
+
+
+def run_chain_foldband(
+    a: SparseCSR,
+    native_stats: list,
+    max_step: int = 7,
+    iters: int = 3,
+    reps: int = 8,
+    rows_per_tile: int = 40,
+    nbuf: int = 8,
+    dims: Sequence[int] = (30, 30, 30),
+    verbose: bool = True,
+    keep_final: Optional[dict] = None,
+):
+    """Fold-band chain: boustrophedon-relabel the torus (wrap edges become
+    local, A becomes a PURE band), then run every step with the
+    band-compact Pallas kernel (kernels/bandplanes.py) — per-entry DMA
+    and FMA widths shrink to the step's true band (40..216 planes instead
+    of a flat 216), which is where the full-width kernel's ~250 ns/entry
+    went.
+
+    The fold is a one-time relabeling (the reference's rcm()+permute
+    role, src/graph_csr.rs:663-818): A^k of the folded matrix is the
+    folded A^k — nnz, max value, and flops per step are permutation-
+    invariant, so ``native_stats`` from the unfolded oracle applies
+    unchanged.  Per-step times are fused-rep averages (bump-perturbed);
+    the initial band scatter of A is input prep (untimed, like the
+    full-width driver's p0 densify).
+
+    Returns (records, total_seconds, final_planes_folded, perm)."""
+    from functools import partial as _partial
+
+    from ..kernels import bandplanes as bp
+    from .timing import fused_loop_time_args
+
+    stats_by_step = {s[0]: s for s in native_stats}
+    n = a.n_rows
+    row_ptr, col_idx, vals_np = a.to_numpy()
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(row_ptr))
+    perm = bp.fold_perm(dims)
+    rf, cf = perm[rows], perm[col_idx.astype(np.int64)]
+    a_f = SparseCSR.from_coo_host(rf, cf, vals_np, n, sr=a.sr)
+    h_a = bp.band_halfwidth(rf, cf)
+    total_planes = -(-(-(-n // 128)) // 8) * 8  # ceil(n/128) to mult of 8
+
+    base_in, s_in = bp.band_layout(n, h_a, total_planes)
+    p = bp.csr_to_band(a_f, base_in, s_in)
+    jax.block_until_ready(p)
+    # chaining slack: a source row's base sits up to this many planes
+    # above the output row's base (see band_layout's min_s contract)
+    max_dp8 = 8 * (2 * h_a // 1024 + 1)
+
+    results: List[ChainStep] = []
+    total = 0.0
+    for step in range(2, max_step + 1):
+        _, want_nnz, vmax, flops = stats_by_step[step]
+        if vmax >= float(1 << 24) - 8:
+            raise OverflowError("fold-band chain exceeds f32 exact range")
+        base_out, s_out = bp.band_layout(n, step * h_a, total_planes,
+                                         min_s=s_in + max_dp8)
+        cnt, src, dst, vals = bp.tile_band_operand(
+            a_f, base_in, s_in, base_out, s_out, rows_per_tile, nbuf)
+        run = _partial(bp.spmm_band, cnt, src, dst, vals,
+                       s_in=s_in, s_out=s_out,
+                       rows_per_tile=rows_per_tile, nbuf=nbuf)
+        c = run(p)
+        nnz = int(jax.device_get(jnp.count_nonzero(c)))
+        assert nnz == want_nnz, (step, nnz, want_nnz)
+
+        def _step(bump, p_):
+            return run(p_.at[0, 0, 0].add(bump))[0, 0, 0]
+
+        dt = fused_loop_time_args(_step, (p,), reps=reps, iters=iters)
+        total += dt
+        rec = ChainStep(step=step, nnz=nnz, flops=flops, seconds=dt,
+                        nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9)
+        results.append(rec)
+        if verbose:
+            print(f"A^{step} [foldband s_in={s_in} s_out={s_out}]: "
+                  f"nnz={nnz} flops={flops} time={dt*1e3:.2f}ms "
+                  f"nnz/s={rec.nnz_per_s/1e6:.1f}M", flush=True)
+        p, base_in, s_in = c, base_out, s_out
+    if verbose:
+        print(f"fold-band chain total (A^2..A^{max_step}): "
+              f"{total*1e3:.2f}ms  [reference CSR-par total ~102 ms]",
+              flush=True)
+    if keep_final is not None:
+        keep_final["p"] = p
+        keep_final["base"] = base_in
+        keep_final["s"] = s_in
+        keep_final["perm"] = perm
+    return results, total
