@@ -66,9 +66,10 @@ def main():
     parser.add_argument("--csv", type=str, default=None, help="write per-step CSV here")
     parser.add_argument("--profile", type=str, default=None,
                         help="write a jax.profiler trace to this directory")
-    parser.add_argument("--rows-per-tile", type=int, default=24,
-                        help="pallas kernel output-tile height (24 measured "
-                             "best of {8,24} at 30^3; scripts/probe_spmm.py)")
+    parser.add_argument("--rows-per-tile", type=int, default=40,
+                        help="pallas kernel output-tile height (40 measured "
+                             "best of {8,24,40,72} at 30^3 — 248 vs 256 "
+                             "ns/entry; bench_out/chain_tune_r5b.txt)")
     parser.add_argument("--pallas-kernel", choices=["vpu", "mxu"],
                         default="vpu",
                         help="chain kernel variant: per-entry VPU FMA ring "
@@ -178,6 +179,11 @@ def main():
         jax.profiler.start_trace(args.profile)
 
     reps = args.reps if args.reps is not None else (32 if args.quick else 4)
+    if a.n_rows % args.rows_per_tile:
+        args.rows_per_tile = next(
+            r for r in (24, 8, 4, 2, 1) if a.n_rows % r == 0)
+        log(f"rows-per-tile adjusted to {args.rows_per_tile} "
+            f"(must divide n={a.n_rows})")
     keep_final = {}
     if args.algo == "pallas":
         # with oracle stats the timing path is ONE compiled program (traced

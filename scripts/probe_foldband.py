@@ -37,14 +37,42 @@ def main():
     emit(f"# probe_foldband start {time.strftime('%H:%M:%S')} "
          f"backend={jax.default_backend()} rpt={args.rpt} nbuf={args.nbuf}")
     host = build_torus_host()
-    stats, _final = native_chain_stats_host(
+    stats, final = native_chain_stats_host(
         host.row_ptr, host.col_idx, host.vals_u64(), host.n, max_step=7)
     a = host.to_device()
     jax.block_until_ready(a.col_idx)
     t0 = time.time()
+    keep = {}
     results, total = run_chain_foldband(
         a, stats, max_step=7, iters=3, reps=args.reps,
-        rows_per_tile=args.rpt, nbuf=args.nbuf)
+        rows_per_tile=args.rpt, nbuf=args.nbuf, keep_final=keep)
+    # value-level check: 128 sampled A^7 rows vs the native oracle, mapped
+    # through the fold permutation (agreement-then-time discipline)
+    import numpy as np
+
+    from sparsetpu.kernels import bandplanes as bp
+
+    n = host.n
+    perm = keep["perm"]
+    import jax.numpy as jnp
+
+    planes = np.asarray(jax.device_get(bp.band_to_planes(
+        keep["p"], jnp.asarray(keep["base"]), n)))
+    flat = planes.reshape(n, -1)
+    crp, cc, cv = final
+    rng = np.random.default_rng(0)
+    bad = 0
+    for r in rng.choice(n, 128, replace=False):
+        want = np.zeros(n, np.uint64)
+        sl = slice(int(crp[r]), int(crp[r + 1]))
+        want[cc[sl]] = cv[sl]
+        got_row = flat[perm[r]]
+        got = np.zeros(n, np.uint64)
+        got[:] = got_row[perm].astype(np.uint64)
+        if not np.array_equal(got, want):
+            bad += 1
+    emit(f"foldband,value_check,{'OK' if bad == 0 else f'BAD {bad}/128'}")
+    assert bad == 0
     for rec in results:
         emit(f"foldband,A^{rec.step},{rec.seconds*1e3:.2f}ms,nnz={rec.nnz},"
              f"{rec.nnz_per_s/1e6:.1f}Mnnz_s")

@@ -149,13 +149,19 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
             algo = "slab"
         elif dense_fits:
             algo = "denseacc"
-        elif flops * 90e-9 < t_tiled_est and flops < (1 << 31):
+        elif flops * 90e-9 < t_tiled_est and flops <= (1 << 28):
             # large-n scattered: the column-chunked slab (MAGNUS role)
             # costs ~90 ns/product where the tiled panel sweep pays the
             # full n x m frame regardless of sparsity (measured: ogbn A^2
-            # 15.7 s colchunk vs 125.7 s tiled, bench_out/probe_colchunk.csv)
+            # 15.7 s colchunk vs 125.7 s tiled, bench_out/probe_colchunk.csv).
+            # Capped at 2^28 products: the per-row interleave holds every
+            # chunk's output plus the final arrays (~3x output bytes)
             algo = "colchunk"
-        elif panel_w and 2 * nnz_a * n_panels <= MAX_DMA_ISSUES:
+        elif (panel_w and 2 * nnz_a * n_panels <= MAX_DMA_ISSUES
+              and min(flops, n * n) * 12 <= 5e9):
+            # the second clause bounds the OUTPUT: col + two u64 limbs is
+            # 12 B/entry and the output can reach min(flops, n^2) entries
+            # (nell A^4 at 531M products OOM'd on exactly this)
             algo = "denseacc_tiled"
         else:
             # no compilable path: sort kernels stall the remote compiler
@@ -176,7 +182,9 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
 
         try:
             c = run_once().check()
-        except (ValueError, RuntimeError) as e:
+        except (ValueError, RuntimeError, jax.errors.JaxRuntimeError) as e:
+            # JaxRuntimeError covers device RESOURCE_EXHAUSTED — a DNF
+            # row per the budget discipline, not a crashed bench
             line = (f"{label},{n},{nnz_a},{step},DNF_{type(e).__name__},"
                     f"{flops},0,{algo}")
             rows.append(line)
@@ -187,21 +195,41 @@ def bench_chain(label: str, a: SparseCSR, max_power: int,
         if step == 2:
             assert int(c.nnz) == int(crp[-1]), (int(c.nnz), int(crp[-1]))
         jax.block_until_ready(c.nnz)
+        nnz_c = int(c.nnz)
+        # at real-graph scale the output is GB-sized: holding the
+        # agreement result alive through the timing loop doubles the peak
+        # and fragments HBM (nell A^4 OOM'd on the SECOND call) — keep at
+        # most one output alive at any moment
+        last_step = nnz_c > MAX_NNZ or step == max_power
+        del c
         best = float("inf")
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            out = run_once()
-            jax.block_until_ready(out.nnz)
-            best = min(best, time.perf_counter() - t0)
-        line = (f"{label},{n},{nnz_a},{step},{int(c.nnz)},{flops},"
+        out = None
+        try:
+            for _ in range(iters):
+                del out
+                out = None
+                t0 = time.perf_counter()
+                out = run_once()
+                jax.block_until_ready(out.nnz)
+                best = min(best, time.perf_counter() - t0)
+        except jax.errors.JaxRuntimeError:
+            if best == float("inf"):
+                line = (f"{label},{n},{nnz_a},{step},DNF_retime,"
+                        f"{flops},0,{algo}")
+                rows.append(line)
+                flush()
+                if verbose:
+                    print(line, flush=True)
+                break
+        line = (f"{label},{n},{nnz_a},{step},{nnz_c},{flops},"
                 f"{best:.6f},{algo}")
         rows.append(line)
         flush()
         if verbose:
             print(f"{line}  ({flops/best/1e6:.1f} Mproducts/s)", flush=True)
-        if int(c.nnz) > MAX_NNZ:
+        if last_step:
             break
-        prev = c
+        prev = out if out is not None else run_once()
     return rows
 
 
@@ -235,7 +263,7 @@ def bench_algos(label: str, a: SparseCSR, verbose: bool = True) -> List[str]:
             dt = time.perf_counter() - t0
             rows.append(f"{label},{n},{nnz_a},reachability,"
                         f"{int(total.nnz)},{k},{dt:.6f},auto")
-        except (ValueError, RuntimeError) as e:
+        except (ValueError, RuntimeError, jax.errors.JaxRuntimeError) as e:
             rows.append(
                 f"{label},{n},{nnz_a},reachability,DNF_{type(e).__name__},"
                 f"{flops2},0,auto")
@@ -245,7 +273,7 @@ def bench_algos(label: str, a: SparseCSR, verbose: bool = True) -> List[str]:
         d = algos.diameter(a)
         dt = time.perf_counter() - t0
         rows.append(f"{label},{n},{nnz_a},diameter,{d},0,{dt:.6f},auto")
-    except (ValueError, RuntimeError) as e:
+    except (ValueError, RuntimeError, jax.errors.JaxRuntimeError) as e:
         rows.append(f"{label},{n},{nnz_a},diameter,"
                     f"DNF_{type(e).__name__},0,0,auto")
     if verbose:

@@ -297,7 +297,12 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             padded_cols = -(-b.n_cols // 1024) * 1024
             fits = a.n_rows * padded_cols * 4 * 2 <= 6e9
             w = dense_acc_panel_cols(a.n_rows)
-            t_cc = 5e-3 + flops * 90e-9
+            # colchunk memory: the per-row interleave holds every chunk's
+            # packed output PLUS the final arrays (~3x output bytes); cap
+            # the route at 2^28 products so the merge provably fits HBM
+            # (nell A^4 at 531M products OOM'd without this)
+            t_cc = (5e-3 + flops * 90e-9 if flops <= (1 << 28)
+                    else float("inf"))
             t_dacc = (a.n_rows * padded_cols * 9e-9 if fits
                       else float("inf"))
             t_tiled = (a.n_rows * padded_cols * 4.3e-9
@@ -306,6 +311,10 @@ def spgemm_auto(a: SparseCSR, b: SparseCSR, round_to_pow2: bool = True,
             if min(t_dacc, t_tiled) < t_cc:
                 kernel = "denseacc" if t_dacc <= t_tiled else \
                     "denseacc_tiled"
+            elif t_cc == float("inf"):
+                # nothing fits: the row-categorized kernel's bounded
+                # per-category programs are the last resort
+                kernel = "rowcat"
     if flops >= 1 << 31 and kernel in ("esc", "rowcat"):
         # only the sort paths materialize the expansion; dense-accumulator
         # cost is independent of the product count (its own capacity guard
