@@ -194,7 +194,8 @@ def main():
                                    per_step=args.per_step or verify,
                                    reps=reps, keep_final=keep_final,
                                    native_stats=host_out.get("native_stats"),
-                                   kernel=args.pallas_kernel)
+                                   kernel=args.pallas_kernel,
+                                   nbuf=args.nbuf)
     elif args.algo == "foldband":
         from sparsetpu.bench.chain import run_chain_foldband
 

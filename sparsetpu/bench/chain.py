@@ -238,6 +238,7 @@ def run_chain_pallas(
     keep_final: Optional[dict] = None,
     native_stats: Optional[list] = None,
     kernel: str = "vpu",
+    nbuf: int = 8,
 ) -> List[ChainStep]:
     """Pallas dense-accumulator chain (kernels/spmm_pallas.py): P rows are
     streamed HBM->VMEM per A-entry via a scalar-driven DMA ring — the
@@ -275,7 +276,7 @@ def run_chain_pallas(
         )
     else:
         cnt, cols, lrow, vals, meta = sp.tile_sparse_operand(
-            a, rows_per_tile=rows_per_tile
+            a, rows_per_tile=rows_per_tile, nbuf=nbuf
         )
     # densify + plane-layout ON DEVICE: a host-built (n, n) f32 P is a
     # multi-GB device_put through the remote tunnel (measured: tens of
@@ -297,7 +298,7 @@ def run_chain_pallas(
             return sp.spmm_pallas_mxu(cnt_m, cols_m, m_mat, p,
                                       rows_per_tile=rows_per_tile)
         return sp.spmm_pallas(cnt, cols, lrow, vals, p,
-                              rows_per_tile=rows_per_tile)
+                              rows_per_tile=rows_per_tile, nbuf=nbuf)
 
     @_partial(jax.jit, static_argnames=("steps",))
     def stats_chain(p, steps: int):
@@ -853,17 +854,20 @@ def run_chain_foldband(
                                          min_s=s_in + max_dp8)
         cnt, src, dst, vals = bp.tile_band_operand(
             a_f, base_in, s_in, base_out, s_out, rows_per_tile, nbuf)
-        run = _partial(bp.spmm_band, cnt, src, dst, vals,
+        run = _partial(bp.spmm_band, cnt, src, dst,
                        s_in=s_in, s_out=s_out,
                        rows_per_tile=rows_per_tile, nbuf=nbuf)
-        c = run(p)
+        c = run(vals, p)
         nnz = int(jax.device_get(jnp.count_nonzero(c)))
         assert nnz == want_nnz, (step, nnz, want_nnz)
 
-        def _step(bump, p_):
-            return run(p_.at[0, 0, 0].add(bump))[0, 0, 0]
+        def _step(bump, vals_, p_):
+            # bump the (tiny) A-values stream, NOT p: perturbing p costs
+            # a full copy of the GB-scale band planes per rep (measured
+            # 0.7-3.4 ms/step of pure timing artifact)
+            return run(vals_.at[0, 0, 0].add(bump * 1e-7), p_)[0, 0, 0]
 
-        dt = fused_loop_time_args(_step, (p,), reps=reps, iters=iters)
+        dt = fused_loop_time_args(_step, (vals, p), reps=reps, iters=iters)
         total += dt
         rec = ChainStep(step=step, nnz=nnz, flops=flops, seconds=dt,
                         nnz_per_s=nnz / dt, gflops=2.0 * flops / dt / 1e9)
